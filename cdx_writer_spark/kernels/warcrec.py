@@ -1,0 +1,308 @@
+"""Minimal WARC/ARC record reader (replaces the reference's external
+``warctools`` dependency; behavior pinned by the reference fixtures at
+/root/reference/tests/*.{warc,arc}[.gz] and the golden CDX lines).
+
+Yields one :class:`Record` per archive record with the same observable
+surface the reference engine consumes (reference ``cdx_writer.py:654-668``):
+
+* ``offset``          — compressed byte offset of the record (gzip member
+                        start for ``.gz``, raw byte offset otherwise)
+* ``compressed_size`` — gzip member span for ``.gz``; raw record size minus
+                        the trailing separator otherwise
+* ``record_type``     — warc type, or ``response``/``filedesc`` for ARC
+* ``url`` (bytes), ``date_raw`` (str), ``content_type`` (bytes|None)
+* ``content_length_hdr`` — the *declared* Content-Length / ARC length field
+                        (may be negative: live-web-proxy artifacts)
+* ``payload`` (bytes) — record block
+* ``headers``         — record-level headers (WARC) as {lower-name: value}
+
+ARC quirks handled (each pinned by a golden fixture):
+  - transposed date/IP fields                  (transposed_header.arc.gz)
+  - literal spaces in the URL, rejoined %20    (spaces_in_url.arc.gz)
+  - spaces inside the content-type field       (alexa_charset_in_header.arc.gz)
+  - missing (empty) content-type field         (alexa_short_header.arc.gz)
+  - negative declared length, missing payload  (negative_content_length.arc.gz)
+  - v2 field declaration over v1 records       (arc_v1_with_v2_header.arc.gz)
+  - 12/16/18-digit and hex date fields         (passed through raw)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+__all__ = ["Record", "read_archive", "parse_archive_bytes"]
+
+_IP_RE = re.compile(rb"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+_DIGITS_RE = re.compile(rb"^-?\d+$")
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+@dataclass
+class Record:
+    filename: str
+    record_idx: int
+    offset: int
+    compressed_size: int | None
+    record_type: str
+    url: bytes | None
+    date_raw: str | None
+    content_type: bytes | None
+    content_length_hdr: int | None
+    payload: bytes
+    headers: dict = field(default_factory=dict)
+
+    def get_header(self, name: str) -> str | None:
+        return self.headers.get(name.lower())
+
+
+def _gzip_members(data: bytes):
+    """Split a multi-member gzip blob into (offset, compressed_size, bytes)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos: pos + 2] != _GZIP_MAGIC:
+            raise ValueError("not a gzip member at offset %d" % pos)
+        d = zlib.decompressobj(47)
+        chunk = d.decompress(data[pos:])
+        tail = d.flush()
+        if tail:
+            chunk += tail
+        consumed = (n - pos) - len(d.unused_data)
+        yield pos, consumed, chunk
+        pos += consumed
+
+
+# ---------------------------------------------------------------- ARC ----
+
+def _parse_arc_header_line(line: bytes):
+    """Return (url, date, content_type, declared_length) from an ARC record
+    header line, tolerating the fixture pathologies documented above."""
+    f = line.split(b" ")
+    if len(f) < 5:
+        # pad: treat missing fields as empty (very short headers)
+        f = f + [b""] * (5 - len(f))
+    if _IP_RE.match(f[1]):
+        url, date, rest = f[0], f[2], f[3:]
+    elif _DIGITS_RE.match(f[1]) and len(f[1]) >= 12 and _IP_RE.match(f[2]):
+        # transposed date/IP
+        url, date, rest = f[0], f[1], f[3:]
+    else:
+        # literal spaces in the URL: consume fields until the IP
+        ip_i = None
+        for i in range(1, len(f) - 2):
+            if _IP_RE.match(f[i]):
+                ip_i = i
+                break
+        if ip_i is None:
+            url, date, rest = f[0], f[2] if len(f) > 2 else b"", f[3:]
+        else:
+            url = b"%20".join(f[:ip_i])
+            date = f[ip_i + 1] if ip_i + 1 < len(f) else b""
+            rest = f[ip_i + 2:]
+    if len(rest) == 7 and _DIGITS_RE.match(rest[-1]) and _DIGITS_RE.match(rest[1]):
+        # ARC v2: content-type result-code checksum location offset filename length
+        ctype, length_s = rest[0], rest[-1]
+    else:
+        length_s = rest[-1] if rest else b"0"
+        ctype = b" ".join(rest[:-1])
+    try:
+        length = int(length_s)
+    except ValueError:
+        length = 0
+    return url, date.decode("latin-1"), (ctype if ctype else None), length
+
+
+def _parse_arc_stream(chunks, filename: str):
+    """``chunks``: iterable of (offset, compressed_size|None, bytes).  For
+    uncompressed input pass a single (0, None, data) chunk."""
+    chunks = list(chunks)
+    records = []
+    ci = 0
+    pending = b""          # leftover bytes within the current chunk chain
+    pending_off = 0        # raw offset of `pending` start (uncompressed mode)
+    idx = 0
+    compressed = chunks and chunks[0][1] is not None
+
+    def emit(url, date, ctype, length, payload, offset, csize):
+        nonlocal idx
+        rtype = "filedesc" if url.startswith(b"filedesc:") else "response"
+        if ctype is not None:
+            # warctools normalizes the ARC content-type field: parameters
+            # after ';' are dropped (golden alexa_charset_in_header.arc.gz)
+            ctype = ctype.split(b";")[0].strip() or None
+        if rtype == "filedesc":
+            # warctools consumes the filedesc body as file metadata and
+            # exposes empty record content (golden: filedesc checksum is
+            # the sha1 of b'' in tests/test_excludes.py outputs)
+            payload = b""
+        records.append(Record(
+            filename=filename, record_idx=idx, offset=offset,
+            compressed_size=csize, record_type=rtype, url=url,
+            date_raw=date, content_type=ctype, content_length_hdr=length,
+            payload=payload,
+            headers={"content-length": str(length)},
+        ))
+        idx += 1
+
+    if compressed:
+        while ci < len(chunks):
+            start_ci = ci
+            buf = chunks[ci][2]
+            data = buf.lstrip(b"\n")
+            if not data:
+                ci += 1
+                continue
+            nl = data.find(b"\n")
+            if nl < 0:
+                nl = len(data)
+            url, date, ctype, length = _parse_arc_header_line(data[:nl])
+            want = max(length, 0)
+            body_start = nl + 1
+            while len(data) < body_start + want and ci + 1 < len(chunks):
+                ci += 1
+                data += chunks[ci][2]
+            payload = data[body_start: body_start + want]
+            offset = chunks[start_ci][0]
+            csize = sum(chunks[i][1] for i in range(start_ci, ci + 1))
+            emit(url, date, ctype, length, payload, offset, csize)
+            ci += 1
+    else:
+        data = chunks[0][2] if chunks else b""
+        pos = 0
+        n = len(data)
+        while pos < n:
+            while pos < n and data[pos: pos + 1] == b"\n":
+                pos += 1
+            if pos >= n:
+                break
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                nl = n
+            url, date, ctype, length = _parse_arc_header_line(data[pos:nl])
+            want = max(length, 0)
+            body_start = nl + 1
+            payload = data[body_start: body_start + want]
+            size = (body_start - pos) + want
+            emit(url, date, ctype, length, payload, pos, size)
+            pos = body_start + want
+    return records
+
+
+# --------------------------------------------------------------- WARC ----
+
+def _parse_warc_block(data: bytes, pos: int):
+    """Parse one WARC record starting at ``pos``.  Returns
+    (headers dict, payload, end_of_payload, next_pos) or None."""
+    m = re.compile(rb"WARC/\d+\.\d+\r?\n").match(data, pos)
+    if not m:
+        return None
+    hdr_end = data.find(b"\r\n\r\n", m.end())
+    sep = 4
+    hdr_end_n = data.find(b"\n\n", m.end())
+    if hdr_end < 0 or (0 <= hdr_end_n < hdr_end):
+        hdr_end, sep = hdr_end_n, 2
+    if hdr_end < 0:
+        return None
+    headers: dict[str, str] = {}
+    for line in data[m.end(): hdr_end].split(b"\n"):
+        line = line.rstrip(b"\r")
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1"))
+    try:
+        clen = int(headers.get("content-length", "0"))
+    except ValueError:
+        clen = 0
+    body_start = hdr_end + sep
+    payload = data[body_start: body_start + max(clen, 0)]
+    end_of_payload = body_start + max(clen, 0)
+    nxt = end_of_payload
+    while data[nxt: nxt + 2] in (b"\r\n",) or data[nxt: nxt + 1] == b"\n":
+        nxt += 2 if data[nxt: nxt + 2] == b"\r\n" else 1
+    return headers, payload, end_of_payload, nxt
+
+
+def _warc_record_from(headers, payload, filename, idx, offset, csize):
+    url = headers.get("warc-target-uri")
+    return Record(
+        filename=filename, record_idx=idx, offset=offset,
+        compressed_size=csize,
+        record_type=headers.get("warc-type", ""),
+        url=url.encode("latin-1") if url is not None else None,
+        date_raw=headers.get("warc-date"),
+        content_type=(headers.get("content-type") or "").encode("latin-1") or None,
+        content_length_hdr=int(headers["content-length"])
+        if re.fullmatch(r"-?\d+", headers.get("content-length", "")) else None,
+        payload=payload, headers=headers,
+    )
+
+
+def _parse_warc_stream(chunks, filename: str):
+    chunks = list(chunks)
+    records = []
+    idx = 0
+    compressed = chunks and chunks[0][1] is not None
+    if compressed:
+        ci = 0
+        while ci < len(chunks):
+            start_ci = ci
+            data = chunks[ci][2]
+            parsed = _parse_warc_block(data, 0)
+            # record may span gzip members (chunked-flush writers)
+            while parsed is None or len(data) < parsed[2]:
+                if ci + 1 >= len(chunks):
+                    break
+                ci += 1
+                data += chunks[ci][2]
+                parsed = _parse_warc_block(data, 0)
+            if parsed is None:
+                ci += 1
+                continue
+            headers, payload, _eop, _nxt = parsed
+            offset = chunks[start_ci][0]
+            csize = sum(chunks[i][1] for i in range(start_ci, ci + 1))
+            records.append(_warc_record_from(headers, payload, filename, idx,
+                                             offset, csize))
+            idx += 1
+            ci += 1
+    else:
+        data = chunks[0][2] if chunks else b""
+        pos = 0
+        while pos < len(data):
+            parsed = _parse_warc_block(data, pos)
+            if parsed is None:
+                break
+            headers, payload, end_of_payload, nxt = parsed
+            records.append(_warc_record_from(headers, payload, filename, idx,
+                                             pos, end_of_payload - pos))
+            idx += 1
+            pos = nxt
+    return records
+
+
+# ---------------------------------------------------------------- API ----
+
+def parse_archive_bytes(data: bytes, filename: str) -> list[Record]:
+    """Parse a whole WARC/ARC file given as bytes (gzip auto-detected —
+    mirrors the reference's ``open_archive(..., gzip='auto')``,
+    cdx_writer.py:654).  This is the kernel the Spark source wraps in
+    ``mapInPandas`` over ``binaryFile`` rows."""
+    if data[:2] == _GZIP_MAGIC:
+        chunks = list(_gzip_members(data))
+        head = chunks[0][2][:64] if chunks else b""
+    else:
+        chunks = [(0, None, data)]
+        head = data[:64]
+    if head.startswith(b"WARC/"):
+        return _parse_warc_stream(chunks, filename)
+    return _parse_arc_stream(chunks, filename)
+
+
+def read_archive(path: str, filename: str | None = None) -> list[Record]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if filename is None:
+        filename = path
+    return parse_archive_bytes(data, filename)
