@@ -1,0 +1,48 @@
+"""SparkSession factory with the configs this engine needs.
+
+Tuned for the sandbox (local[N], 128 GiB) but every knob is the one you'd
+set on a real cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+* Arrow enabled with a *small* maxRecordsPerBatch — archive payloads are
+  MB-scale, so default 10k-row batches would OOM the Python workers
+  (SURVEY.md §4 item 5)
+* shuffle partitions scaled with cores (2x) so the same job scales from
+  local[8] to local[32] without config edits (BASELINE.md scaling protocol)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_CPUS"]
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "cdx-writer-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    cores = cores or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(2 * cores, 8)
+    b = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

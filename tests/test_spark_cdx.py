@@ -1,0 +1,75 @@
+"""Distributed == local: the Spark CDX pipeline must produce exactly the
+lines the (golden-pinned) kernel pipeline produces, for every reference
+fixture file, including excludes and stats parity."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from cdx_writer_spark.kernels.pipeline import (load_excludes, make_cdx_for_file)
+from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
+from cdx_writer_spark.sources.warc import read_warc_records
+
+FIXTURE_DIR = "/root/reference/tests"
+
+
+def fixture_files():
+    pats = ["*.warc.gz", "*.arc.gz", "*.warc", "*.arc"]
+    out = []
+    for p in pats:
+        out += glob.glob(os.path.join(FIXTURE_DIR, p))
+    return sorted(out)
+
+
+def test_spark_cdx_matches_kernel_pipeline(spark):
+    files = fixture_files()
+    assert len(files) >= 30
+    records = read_warc_records(spark, files)
+    fields = cdx_fields(records, all_records=True)
+    got = {}
+    from cdx_writer_spark.operators.cdx import FIELD_COLUMNS
+    cols = [FIELD_COLUMNS[f] for f in "N b a m s k r M S V g".split()]
+    rows = (fields.withColumn("line", F.rtrim(F.concat_ws(" ", *cols)))
+            .select("warc_name", "record_idx", "line")
+            .collect())
+    for r in sorted(rows, key=lambda r: (r["warc_name"], r["record_idx"])):
+        got.setdefault(r["warc_name"], []).append(r["line"])
+
+    for path in files:
+        name = os.path.basename(path)
+        _h, expected, _st = make_cdx_for_file(path, warc_path=name,
+                                              all_records=True)
+        assert got.get(name, []) == expected, f"mismatch for {name}"
+
+
+def test_spark_excludes_and_stats(spark):
+    path = os.path.join(FIXTURE_DIR, "uncompressed.arc")
+    excludes = load_excludes("http://www.sueddeutsche.de\n\nhttp://art.rolo.vn/a/\n")
+    records = read_warc_records(spark, path)
+    flagged = cdx_fields(records, all_records=True, excludes=excludes,
+                         keep_excluded_flag=True)
+    agg = flagged.agg(
+        F.count("*").alias("processed"),
+        F.sum(F.when(F.col("excluded"), 1).otherwise(0)).alias("filtered"),
+    ).collect()[0]
+    assert agg["filtered"] == 2
+    kept = [r["cdx_line"] for r in
+            cdx_lines(flagged.filter(~F.col("excluded"))).collect()]
+    _h, expected, stats = make_cdx_for_file(path, warc_path="uncompressed.arc",
+                                            all_records=True, excludes=excludes)
+    assert sorted(kept) == sorted(expected)
+    assert stats["num_records_filtered"] == 2
+
+
+def test_spark_exclude_anti_join_path(spark):
+    """Big-list path: broadcast LEFT ANTI prefix join."""
+    path = os.path.join(FIXTURE_DIR, "uncompressed.arc")
+    records = read_warc_records(spark, path)
+    ex_df = spark.createDataFrame(
+        [("de,sueddeutsche)",), ("vn,rolo,art)/a",)], ["prefix"])
+    fields = cdx_fields(records, all_records=True, excludes=ex_df)
+    lines = sorted(r["urlkey"] for r in fields.select("urlkey").collect())
+    assert lines == sorted([
+        "filedesc://51_23_20110804181044_crawl101.arc.gz",
+        "com,monsterindia,jobs)/details/9660976.html"])
