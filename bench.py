@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+The headline metric is the north-rule one: URLs scheduled+indexed per
+second through the crawl-frontier pipeline (frontier advance + CDX rows),
+measured on the deterministic synthetic web.  Per-query wall seconds for
+the operator catalog ride along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def materialize(df):
+    """Execute the full plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
+    "q6_forecast_filter", "politeness_topk", "running_offset",
+    "prefix_exclude", "filter_stats", "seen_anti_join", "union_dedup",
+    "date_normalize", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "cosine_topk", "embedding_label_stats",
+    "token_stats", "quality_score", "doc_fingerprint", "tumbling_window",
+    "sessionize",
+]
+
+
+def crawl_bench(spark, n_pages: int, generations: int = 3):
+    """URLs scheduled+indexed per second over a synthetic Zipf web."""
+    from cdx_writer_spark.frontier.crawl import CrawlConfig, run_crawl
+    from cdx_writer_spark.sources.synth import (synth_pages, synth_robots,
+                                                synth_seeds)
+    pages = synth_pages(spark, n_pages).cache()
+    pages.count()  # build the web outside the timed window
+    seeds = synth_seeds(spark, 500, n_pages)
+    robots = synth_robots(spark)
+    cfg = CrawlConfig(per_host_budget=32,
+                      global_batch=max(n_pages // 4, 1000))
+    t0 = time.time()
+    _f, seen, cdx, metrics = run_crawl(spark, pages, seeds, robots, cfg,
+                                       generations)
+    n_cdx = cdx.count()
+    n_sched = sum(m["scheduled"] for m in metrics)
+    n_novel = sum(m["novel"] for m in metrics)
+    dt = time.time() - t0
+    pages.unpersist()
+    return {
+        "crawl_sec": round(dt, 3),
+        "urls_scheduled": n_sched,
+        "urls_discovered_novel": n_novel,
+        "cdx_rows": n_cdx,
+        "urls_per_sec": round((n_sched + n_novel) / dt, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cdx_writer_spark.plans.catalog import QUERIES
+    from cdx_writer_spark.session import get_spark
+
+    spark = get_spark(app_name="cdx-writer-spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    crawl_pages = int(200000 * sf / 0.1)
+    crawl = crawl_bench(spark, max(crawl_pages, 5000))
+    queries["crawl_frontier"] = crawl["crawl_sec"]
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""The crawl frontier: iterative batch generations of
+select → fetch → parse → index → discover → dedup → schedule
+(north_rule; generalizes the reference's single-file loop,
+cdx_writer.py:654-705, into a distributed URL-frontier pipeline).
+
+Determinism contract (BASELINE.md): same seeds + budgets ⇒ identical
+frontier ordering, seen-set and CDX rows at ANY parallelism level — every
+selection is totally ordered with urlkey tiebreaks and every aggregate is
+order-insensitive (min/max/sum only).
+
+Scale notes (10^10 frontier):
+* politeness ranking is two-phase: a salted partial top-k bounds the
+  per-partition work on Zipf-hot hosts before the exact per-host
+  row_number (SURVEY.md §4 item 1);
+* the seen-set anti-join is the only unavoidable big shuffle; bloom
+  pre-filtering (frontier/seen.py) cuts its probe volume;
+* per-generation state is written as parquet snapshots (frontier, seen,
+  cdx, metrics + manifest) = the checkpoint; resume replays from the last
+  complete manifest and re-emits nothing (anti-join on emitted CDX keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.udfs import extract_outlinks, extract_text, surt_key, url_host
+
+__all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
+           "load_state", "page_cdx"]
+
+N_SALT = 16
+
+
+@dataclass
+class CrawlConfig:
+    per_host_budget: int = 4       # politeness: max fetches per host per gen
+    global_batch: int = 2000       # frontier pops per generation
+    priority_decay: float = 0.8
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    bloom_min_keys: int = 200_000   # below this the exact join is cheaper
+    collect_metrics: bool = True
+
+
+def _with_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return (df.withColumn("urlkey", surt_key(F.col(url_col)))
+            .withColumn("host", url_host(F.col(url_col))))
+
+
+def init_frontier(seeds: DataFrame) -> DataFrame:
+    """seeds(url, priority) -> frontier(urlkey, url, host, priority,
+    generation).  Duplicate seeds collapse to max priority."""
+    return (_with_keys(seeds)
+            .groupBy("urlkey")
+            .agg(F.max("priority").alias("priority"),
+                 F.min("url").alias("url"), F.min("host").alias("host"))
+            .withColumn("generation", F.lit(0))
+            .select("urlkey", "url", "host", "priority", "generation"))
+
+
+def schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Politeness + priority-queue pop: per-host budget then global top-k,
+    fully deterministic (urlkey tiebreaks).
+
+    Phase 0 (skew): partial top-k within (host, salt) — cheap map-side
+    bound so the hottest Zipf host can't overload one reducer.
+    Phase 1: exact row_number per host ≤ budget.
+    Phase 2: global top ``global_batch`` by (priority, urlkey) via a
+    range-partitioned sort (no single-node sort)."""
+    salted = frontier.withColumn(
+        "salt", F.pmod(F.xxhash64("urlkey"), F.lit(N_SALT)))
+    w0 = (Window.partitionBy("host", "salt")
+          .orderBy(F.desc("priority"), "urlkey"))
+    pre = (salted.withColumn("rn0", F.row_number().over(w0))
+           .filter(F.col("rn0") <= cfg.per_host_budget)
+           .drop("rn0", "salt"))
+    w1 = Window.partitionBy("host").orderBy(F.desc("priority"), "urlkey")
+    polite = (pre.withColumn("rn", F.row_number().over(w1))
+              .filter(F.col("rn") <= cfg.per_host_budget).drop("rn"))
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k,
+    # then a k-sized merge — the optimal distributed priority-queue pop
+    # (no full sort, no range shuffle)
+    return polite.orderBy(F.desc("priority"), "urlkey").limit(cfg.global_batch)
+
+
+def page_cdx(fetched: DataFrame) -> DataFrame:
+    """CDX projection of fetched pages (the reference's 11 fields where they
+    exist for a live page; checksum = base32(sha1(html)) exactly like
+    cdx_writer.py:399-425 fabricates payload digests)."""
+    from ..functions.udfs import sha1_b32
+    return fetched.select(
+        F.col("urlkey").alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_date"),
+        F.col("url").alias("original_url"),
+        F.lit("text/html").alias("mime"),
+        F.lit("200").alias("status_code"),
+        sha1_b32("html").alias("checksum"),
+        F.lit("-").alias("redirect"),
+        F.lit("-").alias("meta_flags"),
+        F.length("html").cast("string").alias("rec_size"),
+        F.lit("-").alias("rec_offset"),
+        F.col("generation"))
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast-join robots rules on host; drop candidates whose path
+    starts with a disallow prefix (vectorized prefix check, no UDF)."""
+    dis = (robots.filter(F.col("rule_type") == "disallow")
+           .groupBy("host").agg(F.collect_list("path_prefix").alias("bans")))
+    path = F.regexp_replace("url", r"^https?://[^/]*", "")
+    joined = candidates.join(F.broadcast(dis), "host", "left")
+    blocked = (F.col("bans").isNotNull()
+               & F.exists(F.col("bans"),
+                          lambda b: path.startswith(b)))
+    return joined.filter(~blocked).drop("bans")
+
+
+def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
+               robots: DataFrame | None, cfg: CrawlConfig, gen: int):
+    """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
+
+    ``pages`` simulates the web: fetch = equi join on url."""
+    # materialize the (small, batch-bounded) selection once — it feeds the
+    # fetch join, the leftover anti-join and the metrics, and its lineage
+    # contains two window shuffles that must not re-execute per consumer
+    selected = (schedule(frontier, cfg)
+                .withColumn("generation", F.lit(gen))
+                .localCheckpoint(eager=True))
+
+    # fetch: the batch is bounded by global_batch — broadcast it against
+    # the (arbitrarily large) web so the pages table never shuffles
+    fetched = (pages.select("url", "warc_ts", "html")
+               .join(F.broadcast(selected), "url", "inner"))
+    parsed = (fetched
+              .withColumn("text", extract_text("html"))
+              .withColumn("outlinks", extract_outlinks("html", "url")))
+    cdx = page_cdx(parsed)
+
+    # discover: explode outlinks -> canonicalize -> in-batch dedup
+    cand = (parsed.select(F.col("priority").alias("parent_priority"),
+                          F.explode("outlinks").alias("url"))
+            .transform(_with_keys)
+            .groupBy("urlkey")
+            .agg(F.max("parent_priority").alias("parent_priority"),
+                 F.min("url").alias("url"), F.min("host").alias("host")))
+    if robots is not None:
+        cand = robots_gate(cand, robots)
+
+    # seen-set: candidates anti-join seen (bloom pre-filter once seen is
+    # large enough that cutting its probe volume beats the build cost)
+    from .seen import anti_join_seen, build_bloom
+    bloom = None
+    if cfg.use_bloom:
+        cap = seen.count()
+        if cap >= cfg.bloom_min_keys:
+            bloom = build_bloom(seen, "urlkey", capacity=cap,
+                                fpp=cfg.bloom_fpp)
+    novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom)
+
+    new_entries = novel.select(
+        "urlkey", "url", "host",
+        F.round(F.col("parent_priority") * cfg.priority_decay, 6).alias("priority"),
+        F.lit(gen + 1).alias("generation")).localCheckpoint(eager=True)
+
+    leftover = frontier.join(selected.select("urlkey"), "urlkey", "left_anti")
+    next_frontier = leftover.unionByName(new_entries)
+    # only the novel discoveries are new to the seen set: selected URLs
+    # entered it the moment they were enqueued (distinct by construction,
+    # so the union below needs no dedup shuffle)
+    new_seen_keys = new_entries.select("urlkey")
+
+    if cfg.collect_metrics:
+        metrics = {
+            "generation": gen,
+            "scheduled": selected.count(),
+            "novel": new_entries.count(),
+            "cdx_rows": cdx.count(),   # == fetched (every fetch emits 1 row)
+        }
+    else:
+        metrics = {"generation": gen}
+    return next_frontier, new_seen_keys, cdx, metrics
+
+
+# ------------------------------------------------------------ checkpoint --
+
+def _gen_dir(root: str, gen: int) -> str:
+    return os.path.join(root, f"gen={gen:05d}")
+
+
+def save_state(root: str, gen: int, frontier: DataFrame, seen: DataFrame,
+               cdx: DataFrame, metrics: dict):
+    d = _gen_dir(root, gen)
+    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+    cdx.write.mode("overwrite").parquet(os.path.join(d, "cdx"))
+    manifest = dict(metrics)
+    manifest["complete"] = True
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_state(spark: SparkSession, root: str):
+    """Latest complete checkpoint -> (gen, frontier, seen, metrics) or None."""
+    if not os.path.isdir(root):
+        return None
+    gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
+    for g in reversed(gens):
+        mf = os.path.join(root, g, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                m = json.load(f)
+            if m.get("complete"):
+                gen = int(g.split("=")[1])
+                fr = spark.read.parquet(os.path.join(root, g, "frontier"))
+                seen = spark.read.parquet(os.path.join(root, g, "seen"))
+                return gen, fr, seen, m
+    return None
+
+
+def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
+              robots: DataFrame | None, cfg: CrawlConfig, generations: int,
+              checkpoint_dir: str | None = None, resume: bool = False):
+    """Run ``generations`` crawl steps; returns (frontier, seen, all_cdx,
+    metrics list).  With ``resume``, continues from the last complete
+    checkpoint and never re-emits a CDX row (idempotence via anti-join on
+    already-emitted urlkeys per generation)."""
+    start_gen = 0
+    all_metrics: list[dict] = []
+    emitted_keys = None
+    if resume and checkpoint_dir:
+        state = load_state(spark, checkpoint_dir)
+        if state is not None:
+            last_gen, frontier, seen, _m = state
+            start_gen = last_gen + 1
+            emitted = [spark.read.parquet(os.path.join(_gen_dir(checkpoint_dir, g), "cdx"))
+                       for g in range(start_gen)]
+            emitted_keys = emitted[0]
+            for e in emitted[1:]:
+                emitted_keys = emitted_keys.unionByName(e)
+        else:
+            resume = False
+    if start_gen == 0:
+        frontier = init_frontier(seeds)
+        seen = frontier.select("urlkey")
+
+    cdx_parts = []
+    for gen in range(start_gen, generations):
+        frontier, new_seen, cdx, metrics = crawl_step(
+            pages, frontier, seen, robots, cfg, gen)
+        if emitted_keys is not None:
+            cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
+                           "urlkey", "left_anti")
+        seen = seen.unionByName(new_seen)
+        # materialize iteration state: truncates the logical-plan growth that
+        # iterative Spark jobs otherwise accumulate
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = seen.localCheckpoint(eager=True)
+        cdx = cdx.localCheckpoint(eager=True)
+        cdx_parts.append(cdx)
+        all_metrics.append(metrics)
+        if checkpoint_dir:
+            save_state(checkpoint_dir, gen, frontier, seen, cdx, metrics)
+    all_cdx = cdx_parts[0] if cdx_parts else None
+    for c in cdx_parts[1:]:
+        all_cdx = all_cdx.unionByName(c)
+    return frontier, seen, all_cdx, all_metrics

@@ -1,0 +1,98 @@
+"""Vectorized (Arrow) UDFs shared across operators — the only Python that
+runs in hot paths; everything else stays JVM-side.
+
+Per BASELINE.json input_hint: pandas/Arrow UDFs only, never per-row
+``udf()``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+__all__ = ["surt_key", "url_host", "extract_text", "extract_outlinks",
+           "sha1_b32"]
+
+
+@F.pandas_udf(T.StringType())
+def sha1_b32(payload: pd.Series) -> pd.Series:
+    """base32(sha1(bytes)) — the reference's checksum fabrication
+    (cdx_writer.py:399-425); no Spark builtin yields base32 digests."""
+    import base64
+    import hashlib
+
+    def one(b):
+        if b is None:
+            return None
+        return base64.b32encode(hashlib.sha1(bytes(b)).digest()).decode("ascii")
+    return payload.map(one)
+
+
+@F.pandas_udf(T.StringType())
+def surt_key(urls: pd.Series) -> pd.Series:
+    """URL -> SURT urlkey, falling back to the raw url on canonicalization
+    failure (reference cdx_writer.py:277-291 semantics)."""
+    from cdx_writer_spark.kernels.surt import surt
+
+    def one(u):
+        if u is None:
+            return None
+        try:
+            return surt(u)
+        except Exception:
+            return u if isinstance(u, str) else u.decode("latin-1")
+    return urls.map(one)
+
+
+@F.pandas_udf(T.StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    """Canonicalized host (politeness bucketing key)."""
+    from cdx_writer_spark.kernels.surt import host_of
+    return urls.map(lambda u: host_of(u) if u is not None else None)
+
+
+def _strip_tags(html: bytes) -> str:
+    """Extract text from page html: <title> then each <p> block, tags
+    stripped, newline-joined.  Deterministic and byte-stable: the synth
+    generator (sources/synth.py) emits exactly this text, making the
+    input_hint per-row byte-identical invariant testable end-to-end."""
+    import re
+    if html is None:
+        return None
+    m = re.search(rb"<title>(.*?)</title>", html, re.S | re.I)
+    parts = [m.group(1)] if m else []
+    for p in re.finditer(rb"<p>(.*?)</p>", html, re.S | re.I):
+        content = re.sub(rb"<[^>]*>", b"", p.group(1)).strip()
+        if content:
+            parts.append(content)
+    return b"\n".join(parts).decode("utf-8", "replace")
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(_strip_tags)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_outlinks(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """href extraction + urljoin normalization (reference
+    urljoin_and_normalize, cdx_writer.py:475-544, simplified to the live
+    branch: absolutize against the page url)."""
+    import re
+    from urllib.parse import urljoin
+    href = re.compile(rb"""<a\b[^>]*?\bhref\s*=\s*['"]?([^'">\s]+)""", re.I)
+
+    def one(args):
+        html_b, base = args
+        if html_b is None:
+            return []
+        out = []
+        for m in href.finditer(html_b):
+            raw = m.group(1).decode("utf-8", "replace")
+            try:
+                joined = urljoin(base or "", raw)
+            except ValueError:
+                continue
+            out.append(joined.replace(" ", "%20"))
+        return out
+    return pd.Series(map(one, zip(html, base_url)))

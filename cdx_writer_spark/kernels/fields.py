@@ -248,6 +248,76 @@ def get_new_style_checksum(rec: Record, content: bytes | None) -> str:
     return _sha1_b32(rec.payload)
 
 
+def to_unicode(s, charset):
+    """reference cdx_writer.py:460-473"""
+    if isinstance(s, bytes):
+        if charset is None:
+            return s.decode("utf-8", "replace")
+        try:
+            return s.decode(charset, "replace")
+        except LookupError:
+            return s.decode("utf-8", "replace")
+    return s
+
+
+def urljoin_and_normalize(base, url, charset):
+    """reference cdx_writer.py:475-544 (doctest-pinned): urljoin preserving
+    empty fragments/queries, manual /../ and /./ collapse, spaces -> %20.
+
+    >>> urljoin_and_normalize('http://archive.org/a/b/', '/c/d/../e/foo', 'utf-8')
+    'http://archive.org/c/e/foo'
+    >>> urljoin_and_normalize('http://archive.org/a/b/', '/foo/./bar/#', 'utf-8')
+    'http://archive.org/foo/bar/#'
+    >>> urljoin_and_normalize('http://archive.org', '../site', 'utf-8')
+    'http://archive.org/site'
+    >>> urljoin_and_normalize('http://www.seomoz.org/page-strength/http://www.example.com/',
+    ...                       'http://www.seomoz.org/trifecta/fetch/page/http://www.example.com/',
+    ...                       'utf-8')
+    'http://www.seomoz.org/trifecta/fetch/page/http://www.example.com/'
+    """
+    from urllib.parse import urljoin
+    url = to_unicode(url, charset)
+    base = to_unicode(base, "utf-8")
+    try:
+        joined = urljoin(base, url)
+    except ValueError:
+        return "-"
+    m = re.match(r"(https?://.+?/)", joined)
+    if m:
+        domain = joined[: m.end(1)]
+        path = joined[m.end(1):]
+        if path.startswith("../"):
+            path = path[3:]
+        norm = domain + re.sub(r"/[^/]+/\.\./", "/", path)
+        norm = re.sub(r"/\./", "/", norm)
+    else:
+        norm = joined
+    if url.endswith("?") and not norm.endswith("?"):
+        norm += "?"
+    elif url.endswith("#") and not norm.endswith("#"):
+        norm += "#"
+    return norm.replace(" ", "%20")
+
+
+def parse_charset(headers, meta_tags):
+    """reference cdx_writer.py:140-161"""
+    charset = None
+    ct = parse_http_header(headers, "content-type")
+    if ct is not None:
+        m = _CHARSET.search(ct)
+        if m:
+            charset = m.group(1).decode("latin-1")
+    if charset is None and meta_tags is not None:
+        ct2 = meta_tags.get("content-type")
+        if ct2:
+            m = _CHARSET.search(ct2.encode("latin-1"))
+            if m:
+                charset = m.group(1).decode("latin-1")
+    if charset:
+        charset = charset.replace("win-", "windows-")
+    return charset
+
+
 def compute_fields(rec: Record, warc_path: str, screenshot_mode: bool = False) -> dict:
     """All 11 CDX fields for one record, as the reference's per-record
     dispatch loop computes them (cdx_writer.py:672-699)."""

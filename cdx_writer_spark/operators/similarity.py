@@ -1,0 +1,102 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the query set, score via
+  JVM higher-order functions (zip_with/aggregate — no Python in the loop),
+  rank with a per-query window.  O(N·Q) but embarrassingly parallel; the
+  correct baseline and the verifier for the approximate paths.
+* ivf_topk — IVF-style ANN: k-means-lite centroids (deterministic seeded
+  init, L iterations with DataFrame aggregations), assign vectors to their
+  nearest centroid (the "inverted file"), probe only the closest n_probe
+  cells per query.  The scale path: cuts scored candidates by
+  n_probe/n_cells while recall stays high for clustered data.
+* lsh bucketing for near-dup lives in operators/dedup.embedding_near_dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["brute_force_topk", "ivf_topk", "cosine_expr"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id", qvec_col: str = "qvec"
+                     ) -> DataFrame:
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col(qid_col))
+              .select(qid_col, id_col,
+                      F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def kmeans_lite(emb: DataFrame, n_cells: int, iters: int = 3,
+                vec_col: str = "embedding", seed: int = 11) -> DataFrame:
+    """Deterministic centroids via DataFrame-only Lloyd iterations:
+    init = hash-sampled rows; update = elementwise mean via posexplode."""
+    init = (emb.withColumn("_r", F.xxhash64(F.col(vec_col).cast("string"),
+                                            F.lit(seed)))
+            .orderBy("_r").limit(n_cells)
+            .select("_r", F.col(vec_col).alias("centroid")))
+    cents = init.select(
+        F.row_number().over(Window.orderBy("_r")).alias("cell"), "centroid")
+    for _ in range(iters):
+        assigned = _assign(emb, cents, vec_col)
+        cents = (assigned
+                 .select("cell", F.posexplode(vec_col).alias("pos", "val"))
+                 .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s.getField("m")).alias("centroid")))
+    return cents
+
+
+def _assign(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("_sim", cosine_expr(F.col(vec_col), F.col("centroid"))))
+    # nearest cell per vector without a window: max_by keeps it one agg;
+    # ties break to the lowest cell id (determinism across parallelism)
+    return (scored.groupBy(*emb.columns)
+            .agg(F.max_by("cell", F.struct(
+                F.col("_sim").alias("s"),
+                (-F.col("cell")).alias("nc"))).alias("cell")))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 8, n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", qid_col: str = "query_id",
+             qvec_col: str = "qvec", iters: int = 2) -> DataFrame:
+    """ANN: probe only the n_probe nearest centroid cells per query."""
+    cents = kmeans_lite(emb, n_cells, iters=iters, vec_col=vec_col)
+    inverted = _assign(emb, cents, vec_col)  # vector -> cell
+    qcells = (queries.crossJoin(F.broadcast(cents))
+              .withColumn("_sim", cosine_expr(F.col(qvec_col), F.col("centroid"))))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_sim"), "cell")
+    probes = (qcells.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= n_probe)
+              .select(qid_col, qvec_col, "cell"))
+    scored = (inverted.join(probes, "cell")
+              .filter(F.col(id_col) != F.col(qid_col))
+              .select(qid_col, id_col,
+                      F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,125 @@
+"""Operator-module tests: dedup family self-consistency, similarity
+(IVF vs brute-force recall), text analysis, multimodal plumbing,
+streaming == batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    from cdx_writer_spark.operators.dedup import exact
+    kept = exact(docs)
+    n, total = kept.count(), docs.count()
+    assert n <= total
+    again = exact(kept.join(docs, "doc_id").select("doc_id", "text"))
+    assert again.count() == n
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark, docs):
+    from cdx_writer_spark.operators.dedup import jaccard_verify, minhash_lsh
+    # plant two exact duplicates
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+    d2 = docs.unionByName(dup)
+    pairs = minhash_lsh(d2, num_hashes=8, bands=4)
+    planted = {(r["doc_id"] - 100000, r["doc_id"]) for r in dup.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert planted <= got, "exact duplicates must always be LSH candidates"
+    verified = jaccard_verify(d2, pairs, threshold=0.999)
+    vt = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert planted <= vt
+
+
+def test_simhash_finds_identical_docs(spark, docs):
+    from cdx_writer_spark.operators.dedup import simhash
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash(docs.unionByName(dup))
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    for r in dup.collect():
+        key = (r["doc_id"] - 100000, r["doc_id"])
+        assert key in got and got[key] == 0
+
+
+def test_embedding_near_dup_self_pairs(spark, emb):
+    from cdx_writer_spark.operators.dedup import embedding_near_dup
+    dup = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = embedding_near_dup(emb.unionByName(dup), threshold=0.999)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    planted = {(r["vec_id"] - 100000, r["vec_id"]) for r in dup.collect()}
+    assert planted <= got
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from cdx_writer_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_topk)
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"),
+                                  F.col("embedding").alias("qvec"))
+    bf = brute_force_topk(emb, queries, k=10)
+    ivf = ivf_topk(emb, queries, k=10, n_cells=4, n_probe=2, iters=1)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ivf_set = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_text_operators_run(spark, docs):
+    from cdx_writer_spark.operators.text import (fingerprint, lang_id,
+                                                 quality_features,
+                                                 token_count)
+    tc = token_count(docs)
+    assert tc.filter(F.col("n_words") <= 0).count() == 0
+    qf = quality_features(docs)
+    assert {"n_words", "mean_word_len", "stopword_hits", "upper_ratio",
+            "quality_ok"} <= set(qf.columns)
+    li = lang_id(docs)
+    assert li.filter(F.col("pred_lang").isNull()).count() == 0
+    fp = fingerprint(docs)
+    row = fp.first()
+    assert len(row["fingerprint"]) <= 4
+    # fingerprints deterministic
+    a = sorted(tuple(r["fingerprint"]) for r in fp.collect())
+    b = sorted(tuple(r["fingerprint"]) for r in fingerprint(docs).collect())
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    from cdx_writer_spark.operators.multimodal import (audio_frames,
+                                                       image_features,
+                                                       synth_media)
+    media = synth_media(spark, 20, payload_kb=2)
+    feats = image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-6 for r in rows)
+    frames = audio_frames(media, frame_bytes=512)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per), "2KB/512B = 4 frames each"
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    from cdx_writer_spark.plans.catalog import tumbling_window
+    from cdx_writer_spark.streaming.events import (run_available_now,
+                                                   stream_events,
+                                                   windowed_counts)
+    batch = {tuple(r) for r in tumbling_window(spark, SF).collect()}
+    # readStream needs a directory source
+    src = tmp_path / "events_dir"
+    src.mkdir()
+    import shutil
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    stream = stream_events(spark, str(src))
+    rows = run_available_now(windowed_counts(stream),
+                             str(tmp_path / "ckpt"))
+    got = {tuple(r) for r in rows}
+    assert got == batch
