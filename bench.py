@@ -34,15 +34,29 @@ HEADLINE = [
 
 
 def crawl_bench(spark, n_pages: int, generations: int = 3):
-    """URLs scheduled+indexed per second over a synthetic Zipf web."""
+    """URLs scheduled+indexed per second over a synthetic Zipf web.
+
+    Sized so each generation pushes a meaningful batch through the fetch/
+    parse/canonicalize/dedup pipeline (seeds and hosts scale with the web;
+    a 500-seed toy crawl would measure scheduler overhead, not throughput)."""
     from cdx_writer_spark.frontier.crawl import CrawlConfig, run_crawl
     from cdx_writer_spark.sources.synth import (synth_pages, synth_robots,
                                                 synth_seeds)
-    pages = synth_pages(spark, n_pages).cache()
+    n_hosts = max(1000, n_pages // 20)
+    pages = synth_pages(spark, n_pages, n_hosts=n_hosts).cache()
     pages.count()  # build the web outside the timed window
-    seeds = synth_seeds(spark, 500, n_pages)
-    robots = synth_robots(spark)
-    cfg = CrawlConfig(per_host_budget=32,
+    # warm the Arrow python workers + whole-stage codegen before timing:
+    # the first pandas-UDF stage pays ~1s/worker of fork+import, which is
+    # JVM-warmup noise, not pipeline throughput
+    from cdx_writer_spark.functions.udfs import sha1_b32, surt_key
+    from pyspark.sql import functions as F
+    (pages.limit(4096)
+     .select(surt_key("url").alias("k"), sha1_b32("html").alias("h"))
+     .groupBy("k").count().count())
+    seeds = synth_seeds(spark, max(500, n_pages // 10), n_pages,
+                        n_hosts=n_hosts)
+    robots = synth_robots(spark, n_hosts=n_hosts)
+    cfg = CrawlConfig(per_host_budget=64,
                       global_batch=max(n_pages // 4, 1000))
     t0 = time.time()
     _f, seen, cdx, metrics = run_crawl(spark, pages, seeds, robots, cfg,
@@ -59,6 +73,48 @@ def crawl_bench(spark, n_pages: int, generations: int = 3):
         "cdx_rows": n_cdx,
         "urls_per_sec": round((n_sched + n_novel) / dt, 1),
     }
+
+
+def synth_warc_records(spark, n: int):
+    """warc_records envelope rows synthesized from the deterministic page
+    generator: response records whose payload is a real HTTP message, so
+    the CDX field kernels do full-fidelity work (header split, sha1,
+    surt, meta-tag scan) per record."""
+    from pyspark.sql import functions as F
+    from cdx_writer_spark.sources.synth import synth_pages
+    pages = synth_pages(spark, n)
+    payload = F.concat(
+        F.lit(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              b"X-Robots-Tag: noarchive\r\n\r\n"), F.col("html"))
+    return pages.select(
+        F.lit("synth.warc.gz").alias("filename"),
+        F.col("page_id").cast("int").alias("record_idx"),
+        F.col("page_id").alias("offset"),
+        F.length("html").cast("long").alias("compressed_size"),
+        F.lit("response").alias("record_type"),
+        F.encode("url", "utf-8").alias("url_raw"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("date_raw"),
+        F.lit(b"application/http; msgtype=response").alias("content_type"),
+        F.length("html").cast("long").alias("content_length_hdr"),
+        payload.cast("binary").alias("payload"),
+        F.lit(None).cast("string").alias("payload_digest"),
+        F.lit(None).cast("string").alias("sfps"))
+
+
+def index_bench(spark, n_records: int):
+    """CDX rows/sec through the full field pipeline — one embarrassingly
+    parallel stage (the reference's whole engine, distributed)."""
+    from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
+    recs = synth_warc_records(spark, n_records).cache()
+    recs.count()
+    # warm workers + codegen
+    materialize(cdx_lines(cdx_fields(recs.limit(2048))))
+    t0 = time.time()
+    materialize(cdx_lines(cdx_fields(recs)))
+    dt = time.time() - t0
+    recs.unpersist()
+    return {"index_sec": round(dt, 3), "records": n_records,
+            "cdx_rows_per_sec": round(n_records / dt, 1)}
 
 
 def main():
@@ -83,6 +139,8 @@ def main():
     crawl_pages = int(200000 * sf / 0.1)
     crawl = crawl_bench(spark, max(crawl_pages, 5000))
     queries["crawl_frontier"] = crawl["crawl_sec"]
+    index = index_bench(spark, max(int(1000000 * sf / 0.1), 10000))
+    queries["cdx_index"] = index["index_sec"]
     total = round(time.time() - t_all, 3)
 
     print(json.dumps({
@@ -93,7 +151,9 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "urls_per_sec": crawl["urls_per_sec"],
+        "cdx_rows_per_sec": index["cdx_rows_per_sec"],
         "crawl": crawl,
+        "index": index,
     }))
 
 

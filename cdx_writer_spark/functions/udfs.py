@@ -51,6 +51,32 @@ def url_host(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: host_of(u) if u is not None else None)
 
 
+_KEY_HOST_SCHEMA = T.StructType([
+    T.StructField("urlkey", T.StringType()),
+    T.StructField("host", T.StringType()),
+])
+
+
+@F.pandas_udf(_KEY_HOST_SCHEMA)
+def surt_and_host(urls: pd.Series) -> pd.DataFrame:
+    """(urlkey, host) in ONE Arrow pass — the frontier canonicalizes every
+    discovered URL, so fusing the two kernels halves the batch transfers."""
+    from cdx_writer_spark.kernels.surt import host_of, surt
+
+    keys, hosts = [], []
+    for u in urls:
+        if u is None:
+            keys.append(None)
+            hosts.append(None)
+            continue
+        try:
+            keys.append(surt(u))
+        except Exception:
+            keys.append(u if isinstance(u, str) else u.decode("latin-1"))
+        hosts.append(host_of(u))
+    return pd.DataFrame({"urlkey": keys, "host": hosts})
+
+
 def _strip_tags(html: bytes) -> str:
     """Extract text from page html: <title> then each <p> block, tags
     stripped, newline-joined.  Deterministic and byte-stable: the synth

@@ -21,6 +21,7 @@ everything else is embarrassingly parallel per archive file.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 __all__ = ["cdx_fields", "cdx_lines", "date_expr", "FIELD_COLUMNS"]
@@ -61,50 +62,60 @@ def date_expr(col: Column) -> Column:
     )
 
 
-@F.pandas_udf(_PY_FIELDS_SCHEMA)
-def _py_fields_udf(record_type, url_raw, content_type, payload,
-                   content_length_hdr, payload_digest, sfps, filename):
-    """Vectorized (Arrow-batched) computation of the byte-level CDX fields.
+def _make_py_fields_udf(screenshot_mode: bool = False):
+    """Factory for the vectorized (Arrow-batched) byte-level CDX field UDF.
     One batch in, one struct-column batch out; regexes are compiled once per
-    executor at kernel-module import."""
-    import pandas as pd
+    executor at kernel-module import.  ``screenshot_mode`` mirrors the
+    reference's --screenshot-mode flag (cdx_writer.py:285-286,345-348,
+    447-448,613-615)."""
+    def kernel(record_type: pd.Series, url_raw: pd.Series,
+               content_type: pd.Series, payload: pd.Series,
+               content_length_hdr: pd.Series, payload_digest: pd.Series,
+               sfps: pd.Series, filename: pd.Series) -> pd.DataFrame:
+        from cdx_writer_spark.kernels import fields as K
+        from cdx_writer_spark.kernels.warcrec import Record
 
-    from cdx_writer_spark.kernels import fields as K
-    from cdx_writer_spark.kernels.warcrec import Record
+        out = {k: [] for k in ("urlkey", "original_url", "mime", "status",
+                               "checksum", "meta_flags")}
+        for rt, url, ct, pl, clen, pdg, sf, fn in zip(
+                record_type, url_raw, content_type, payload,
+                content_length_hdr, payload_digest, sfps, filename):
+            headers = {}
+            if pdg is not None:
+                headers["warc-payload-digest"] = pdg
+            if sf is not None:
+                headers["warc-simple-form-province-status"] = sf
+            rec = Record(
+                filename=fn, record_idx=0, offset=0, compressed_size=None,
+                record_type=rt,
+                url=bytes(url) if url is not None else None,
+                date_raw=None,
+                content_type=bytes(ct) if ct is not None else None,
+                content_length_hdr=int(clen) if pd.notna(clen) else None,
+                payload=bytes(pl) if pl is not None else b"",
+                headers=headers,
+            )
+            http_headers, content = K.parse_headers_and_content(
+                rec, screenshot_mode)
+            mime = K.get_mime_type(rec, http_headers, screenshot_mode)
+            meta = K.parse_meta_tags(rec, mime, content)
+            out["urlkey"].append(K.get_massaged_url(rec, fn, screenshot_mode))
+            out["original_url"].append(
+                K.get_original_url(rec, fn, screenshot_mode))
+            out["mime"].append(mime)
+            out["status"].append(K.get_response_code(rec))
+            out["checksum"].append(K.get_new_style_checksum(rec, content))
+            out["meta_flags"].append(
+                K.get_aif_meta_tags(rec, http_headers, meta))
+        return pd.DataFrame(out)
+    return F.pandas_udf(_PY_FIELDS_SCHEMA)(kernel)
 
-    out = {k: [] for k in ("urlkey", "original_url", "mime", "status",
-                           "checksum", "meta_flags")}
-    for rt, url, ct, pl, clen, pdg, sf, fn in zip(
-            record_type, url_raw, content_type, payload, content_length_hdr,
-            payload_digest, sfps, filename):
-        headers = {}
-        if pdg is not None:
-            headers["warc-payload-digest"] = pdg
-        if sf is not None:
-            headers["warc-simple-form-province-status"] = sf
-        rec = Record(
-            filename=fn, record_idx=0, offset=0, compressed_size=None,
-            record_type=rt,
-            url=bytes(url) if url is not None else None,
-            date_raw=None,
-            content_type=bytes(ct) if ct is not None else None,
-            content_length_hdr=int(clen) if pd.notna(clen) else None,
-            payload=bytes(pl) if pl is not None else b"",
-            headers=headers,
-        )
-        http_headers, content = K.parse_headers_and_content(rec)
-        mime = K.get_mime_type(rec, http_headers)
-        meta = K.parse_meta_tags(rec, mime, content)
-        out["urlkey"].append(K.get_massaged_url(rec, fn))
-        out["original_url"].append(K.get_original_url(rec, fn))
-        out["mime"].append(mime)
-        out["status"].append(K.get_response_code(rec))
-        out["checksum"].append(K.get_new_style_checksum(rec, content))
-        out["meta_flags"].append(K.get_aif_meta_tags(rec, http_headers, meta))
-    return pd.DataFrame(out)
+
+_py_fields_udf = _make_py_fields_udf(False)
 
 
 def cdx_fields(records: DataFrame, *, all_records: bool = False,
+               screenshot_mode: bool = False,
                excludes: list[str] | DataFrame | None = None,
                keep_excluded_flag: bool = False) -> DataFrame:
     """Project the warc_records envelope to the 11 CDX columns.
@@ -115,7 +126,10 @@ def cdx_fields(records: DataFrame, *, all_records: bool = False,
     with an ``excluded`` boolean (for stats parity, reference
     cdx_writer.py:673-675)."""
     df = records
-    if not all_records:
+    if screenshot_mode:
+        # screenshot WARCs keep only metadata records (cdx_writer.py:660-662)
+        df = df.filter(F.col("record_type") == "metadata")
+    elif not all_records:
         # F1 (reference cdx_writer.py:643-646,660-664)
         df = df.filter(
             F.col("record_type").isin("response", "revisit")
@@ -125,7 +139,8 @@ def cdx_fields(records: DataFrame, *, all_records: bool = False,
     df = df.filter(F.col("content_length_hdr").isNull()
                    | (F.col("content_length_hdr") >= 0))
 
-    df = df.withColumn("_py", _py_fields_udf(
+    udf = (_make_py_fields_udf(True) if screenshot_mode else _py_fields_udf)
+    df = df.withColumn("_py", udf(
         "record_type", "url_raw", "content_type", "payload",
         "content_length_hdr", "payload_digest", "sfps", "filename"))
 

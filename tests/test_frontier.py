@@ -101,3 +101,18 @@ def test_checkpoint_resume_no_reemission(spark, world, tmp_path):
     # idempotence: no urlkey emitted twice across the resumed run
     emitted_before = {k for k, g in full if g < 2}
     assert all(k not in emitted_before for k, _ in resumed)
+
+
+def test_distributed_top_k_exact(spark):
+    from cdx_writer_spark.frontier.crawl import distributed_top_k
+    df = (spark.range(0, 50000)
+          .select(F.col("id"),
+                  (F.xxhash64("id") % 1000).alias("priority"),
+                  F.concat(F.lit("u"), F.col("id")).alias("urlkey")))
+    got = distributed_top_k(df, [F.desc("priority"), F.col("urlkey")],
+                            12345)
+    expect = df.orderBy(F.desc("priority"), "urlkey").limit(12345)
+    g = sorted(tuple(r) for r in got.collect())
+    e = sorted(tuple(r) for r in expect.collect())
+    assert len(g) == 12345
+    assert g == e
