@@ -43,8 +43,12 @@ def crawl_bench(spark, n_pages: int, generations: int = 3):
     from cdx_writer_spark.sources.synth import (synth_pages, synth_robots,
                                                 synth_seeds)
     n_hosts = max(1000, n_pages // 20)
-    pages = synth_pages(spark, n_pages, n_hosts=n_hosts).cache()
-    pages.count()  # build the web outside the timed window
+    # NO .cache(): Spark's in-memory columnar cache serializes under high
+    # task concurrency on this host (16-core scans of a 1.2GB cache ran
+    # slower than 4-core).  The synthetic web is pure whole-stage codegen —
+    # regenerating it per scan is cheap and scales linearly, like a real
+    # job's parallel object-store scan.
+    pages = synth_pages(spark, n_pages, n_hosts=n_hosts)
     # warm the Arrow python workers + whole-stage codegen before timing:
     # the first pandas-UDF stage pays ~1s/worker of fork+import, which is
     # JVM-warmup noise, not pipeline throughput
@@ -65,7 +69,6 @@ def crawl_bench(spark, n_pages: int, generations: int = 3):
     n_sched = sum(m["scheduled"] for m in metrics)
     n_novel = sum(m["novel"] for m in metrics)
     dt = time.time() - t0
-    pages.unpersist()
     return {
         "crawl_sec": round(dt, 3),
         "urls_scheduled": n_sched,
@@ -105,14 +108,14 @@ def index_bench(spark, n_records: int):
     """CDX rows/sec through the full field pipeline — one embarrassingly
     parallel stage (the reference's whole engine, distributed)."""
     from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
-    recs = synth_warc_records(spark, n_records).cache()
-    recs.count()
+    # NO .cache(): see crawl_bench — the columnar cache anti-scales with
+    # task concurrency here; inline codegen synth scales at ~0.96.
+    recs = synth_warc_records(spark, n_records)
     # warm workers + codegen
-    materialize(cdx_lines(cdx_fields(recs.limit(2048))))
+    materialize(cdx_lines(cdx_fields(recs.limit(4096))))
     t0 = time.time()
     materialize(cdx_lines(cdx_fields(recs)))
     dt = time.time() - t0
-    recs.unpersist()
     return {"index_sec": round(dt, 3), "records": n_records,
             "cdx_rows_per_sec": round(n_records / dt, 1)}
 

@@ -59,6 +59,10 @@ def main(argv=None):
 
     spark = get_spark(app_name="cdx-writer", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # WARC payload rows are MB-scale (up to 5 MB html is still parsed,
+    # cdx_writer.py:71-73): cap Arrow batches well below the session
+    # default, which is tuned for KB-scale page rows.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
     records = read_warc_records(spark, inputs,
                                 use_full_path=args.use_full_path)
     fields = cdx_fields(records, all_records=args.all_records,

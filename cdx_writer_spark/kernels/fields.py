@@ -123,12 +123,19 @@ def parse_meta_tags(rec: Record, mime_type: str, content: bytes | None):
         return None
     if content is None:
         return None
+    clen = rec.content_length_hdr
+    if clen is not None and clen > META_PARSE_LIMIT:
+        return {}
+    return meta_tags_from_html(content)
+
+
+def meta_tags_from_html(content: bytes):
+    """The scan loop of parse_meta_tags, gates already applied — shared by
+    the kernel path above and the Spark hot path (operators/cdx.py), which
+    applies the response/text-html/5MB gates as Column exprs."""
     meta: dict[str, str] = {}
     html = content.strip()
     if html == b"":
-        return meta
-    clen = rec.content_length_hdr
-    if clen is not None and clen > META_PARSE_LIMIT:
         return meta
     head_limit = None
     m = _HEAD_END.search(html)
@@ -158,11 +165,21 @@ def get_aif_meta_tags(rec: Record, headers, meta_tags) -> str:
     from meta robots + X-Robots-Tag, then the IA-proprietary P flag from
     WARC-Simple-Form-Province-Status."""
     x_robots = parse_http_header(headers, "x-robots-tag")
+    return aif_flags(
+        meta_tags,
+        x_robots.decode("latin-1") if x_robots is not None else None,
+        rec.get_header("WARC-Simple-Form-Province-Status"))
+
+
+def aif_flags(meta_tags, x_robots: str | None, sfps: str | None) -> str:
+    """Core of field M with the header values already extracted — shared by
+    the kernel path and the Spark hot path (which pulls x-robots-tag out of
+    the header block with a JVM regexp)."""
     robot_tags: list[str] = []
     if meta_tags and "robots" in meta_tags:
         robot_tags += meta_tags["robots"].split(",")
     if x_robots:
-        robot_tags += x_robots.decode("latin-1").split(",")
+        robot_tags += x_robots.split(",")
     robot_tags = [t.strip().lower() for t in robot_tags]
     s = ""
     if "noarchive" in robot_tags:
@@ -171,7 +188,6 @@ def get_aif_meta_tags(rec: Record, headers, meta_tags) -> str:
         s += "F"
     if "noindex" in robot_tags:
         s += "I"
-    sfps = rec.get_header("WARC-Simple-Form-Province-Status")
     if sfps:
         first = sfps.split(",", 2)[0]
         try:

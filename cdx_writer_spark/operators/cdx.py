@@ -44,6 +44,34 @@ _PY_FIELDS_SCHEMA = T.StructType([
     T.StructField("meta_flags", T.StringType()),
 ])
 
+# ---------------------------------------------------------------------------
+# JVM-side kernels (whole-stage codegen, zero python transfer)
+# ---------------------------------------------------------------------------
+
+_ALPHA32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+META_PARSE_LIMIT = 5 * 1024 * 1024
+
+
+def _b32_of_sha1_hex(hex_col: Column) -> Column:
+    """base32(unhex(sha1_hex)) as pure Column arithmetic: 160 bits = eight
+    20-bit groups (5 hex chars) -> four 5-bit alphabet indices each.  Python
+    equivalent: base64.b32encode(hashlib.sha1(x).digest()) — no padding since
+    160 % 40 == 0 (reference cdx_writer.py:399-425 digest format)."""
+    alpha = F.array(*[F.lit(c) for c in _ALPHA32])
+    chars = []
+    for i in range(8):
+        v = F.conv(F.substring(hex_col, 1 + 5 * i, 5), 16, 10).cast("int")
+        for shift in (15, 10, 5, 0):
+            idx = F.shiftright(v, shift).bitwiseAND(F.lit(31))
+            chars.append(F.element_at(alpha, idx + F.lit(1)))
+    return F.concat(*chars)
+
+
+def sha1_b32_expr(latin1_str: Column) -> Column:
+    """sha1-base32 content digest of a latin-1-decoded byte string, fully
+    JVM-side (F.sha1 is native; base32 is expression arithmetic)."""
+    return _b32_of_sha1_hex(F.sha1(F.encode(latin1_str, "ISO-8859-1")))
+
 
 def date_expr(col: Column) -> Column:
     """Field b (reference cdx_writer.py:352-376) as a pure Column expr:
@@ -114,6 +142,195 @@ def _make_py_fields_udf(screenshot_mode: bool = False):
 _py_fields_udf = _make_py_fields_udf(False)
 
 
+_PY_URL_SCHEMA = T.StructType([
+    T.StructField("urlkey", T.StringType()),
+    T.StructField("original_url", T.StringType()),
+    T.StructField("meta_flags", T.StringType()),
+    T.StructField("checksum_fab", T.StringType()),
+])
+
+
+@F.pandas_udf(_PY_URL_SCHEMA)
+def _py_url_meta_udf(record_type: pd.Series, url_raw: pd.Series,
+                     filename: pd.Series, meta_slice: pd.Series,
+                     x_robots: pd.Series, sfps: pd.Series,
+                     fab_hex: pd.Series) -> pd.DataFrame:
+    """The slim python side of the hot path: SURT/chardet url fields, the
+    meta-robots scan, and hex->base32 of the JVM-computed sha1.  Everything
+    byte-heavy (header/body split, sha1, status, mime) stays JVM-side —
+    this UDF receives only url bytes, a bounded html-head slice, and a
+    40-char digest, ~10x less Arrow transfer than shipping payloads."""
+    import base64
+
+    from cdx_writer_spark.kernels import fields as K
+    from cdx_writer_spark.kernels.warcrec import Record
+
+    out = {"urlkey": [], "original_url": [], "meta_flags": [],
+           "checksum_fab": []}
+    for rt, url, fn, ms, xr, sf, fh in zip(record_type, url_raw, filename,
+                                           meta_slice, x_robots, sfps,
+                                           fab_hex):
+        rec = Record(
+            filename=fn, record_idx=0, offset=0, compressed_size=None,
+            record_type=rt, url=bytes(url) if url is not None else None,
+            date_raw=None, content_type=None, content_length_hdr=None,
+            payload=b"", headers={})
+        out["urlkey"].append(K.get_massaged_url(rec, fn))
+        out["original_url"].append(K.get_original_url(rec, fn))
+        meta = (K.meta_tags_from_html(bytes(ms)) if ms is not None else None)
+        out["meta_flags"].append(K.aif_flags(meta, xr, sf))
+        out["checksum_fab"].append(
+            base64.b32encode(bytes.fromhex(fh)).decode("ascii")
+            if fh is not None else None)
+    return pd.DataFrame(out)
+
+
+def _jvm_fields(df: DataFrame) -> DataFrame:
+    """Byte-level CDX kernels as Column expressions (P5/P6/P12/P15 plus the
+    header extraction for P4/P7) — the reference semantics of
+    cdx_writer.py:399-425,429-457,585-620,105-114 with zero python transfer.
+
+    The payload is viewed through a lossless latin-1 decode so string
+    functions (regexp, substring, sha1-over-encode) operate on exact byte
+    positions; char i == byte i."""
+    rt = F.col("record_type")
+    df = df.withColumn("_pay", F.decode(F.col("payload"), "ISO-8859-1"))
+    pay = F.col("_pay")
+    df = df.withColumn(
+        "_is_http", (rt == "response") & pay.startswith("HTTP"))
+    is_http = F.col("_is_http")
+    # P15 split on the FIRST \r?\n\r?\n (python _CRLF_SPLIT.split(payload, 1)).
+    # Any match of \r?\n\r?\n starts with one of exactly four literals, so
+    # the leftmost match position is the min of four intrinsic indexOf
+    # scans — ~4x faster than java.util.regex over the payload.
+    locs = [F.nullif(F.locate(lit, pay), F.lit(0))
+            for lit in ("\n\n", "\n\r\n", "\r\n\n", "\r\n\r\n")]
+    df = df.withColumn("_pos", F.coalesce(F.least(*locs), F.lit(0)))
+    pos = F.col("_pos")
+    # greedy match length at _pos (python regex prefers the longest here)
+    s4 = pay.substr(pos, F.lit(4))
+    sep_len = (F.when(s4.startswith("\r\n\r\n"), F.lit(4))
+               .when(s4.startswith("\r\n\n") | s4.startswith("\n\r\n"),
+                     F.lit(3))
+               .otherwise(F.lit(2)))
+    hdrs = (F.when(is_http & (pos > 0), pay.substr(F.lit(1), pos - 1))
+            .when(is_http, pay))
+    content = F.when(is_http & (pos > 0),
+                     pay.substr(pos + sep_len, F.length(pay)))
+    df = (df.withColumn("_hdrs", hdrs)
+            .withColumn("_content", content))
+
+    # P18 is_response: ^application/http;\s*msgtype=response$ case-insens.
+    df = df.withColumn(
+        "_is_resp_ct",
+        F.decode(F.col("content_type"), "ISO-8859-1")
+        .rlike(r"(?i)^application/http;\s*msgtype=response$"))
+    is_resp_ct = F.col("_is_resp_ct")
+
+    # P5 status: anchored HTTP(/d.d)? (ddd).  The anchored match can only
+    # span the first ~20 chars, so scan a 64-char prefix — java regex
+    # find() otherwise retries the dead anchor at every payload position.
+    status = F.when(
+        rt == "response",
+        F.coalesce(
+            F.nullif(F.regexp_extract(
+                F.col("_pay").substr(F.lit(1), F.lit(64)),
+                r"^HTTP(?:/\d\.\d)? (\d+)", 1), F.lit("")),
+            F.lit("-"))
+    ).otherwise(F.lit("-"))
+
+    # P12 first matching header line (python: pat.match per splitlines line)
+    def header(name: str) -> Column:
+        return F.nullif(F.regexp_extract(
+            F.col("_hdrs"),
+            r"(?im)^" + name + r":[ \t\x0B\f]*([^\r\n]+)", 1), F.lit(""))
+
+    # P4 mime — staged columns so each regexp runs ONCE per row:
+    # CollapseProject refuses to inline non-cheap exprs referenced more than
+    # once, keeping the generated code linear instead of the ~12x textual
+    # expansion a single nested CASE tree produces.
+    strip_re = r"^[ \t\n\r\x0B\f]+|[ \t\n\r\x0B\f]+$"
+    df = df.withColumn("_ct_hdr", header("content-type"))
+    df = df.withColumn(
+        "_ct_stripped", F.regexp_replace(F.col("_ct_hdr"), strip_re, ""))
+    df = df.withColumn(
+        "_pre_semi_m", F.regexp_extract(F.col("_ct_stripped"), r"^(.+?);", 1))
+    pre_semi = (F.when(F.col("_pre_semi_m") != "", F.col("_pre_semi_m"))
+                .otherwise(F.col("_ct_stripped")))
+    df = df.withColumn("_pre_semi", pre_semi)
+    mime_http = (
+        F.when(F.col("_ct_hdr").isNull() | (F.col("_ct_stripped") == ""),
+               F.lit("unk"))
+        .when(F.col("_pre_semi").rlike(r"^[a-z0-9\-\.\+/]+$"),
+              F.col("_pre_semi"))
+        .otherwise(F.lit("unk")))
+    ct_raw = F.decode(F.col("content_type"), "ISO-8859-1")
+    df = df.withColumn(
+        "_ct_replaced", F.replace(ct_raw, F.lit("no-type"), F.lit("unk")))
+    mime_resp_other = (
+        F.when(F.col("content_type").isNull(), F.lit("unk"))
+        .when(F.col("_ct_replaced").rlike(r"[^\x00-\x7F]"), F.lit("unk"))
+        .otherwise(F.col("_ct_replaced")))
+    mime = (F.when((rt == "response") & is_resp_ct, mime_http)
+            .when(rt == "response", mime_resp_other)
+            .when(rt == "warcinfo", F.lit("warc-info"))
+            .otherwise(F.concat(
+                F.lit("warc/"),
+                F.regexp_replace(rt, r"[^\x00-\x7F]", "?"))))
+    df = df.withColumn("_mime", mime)
+
+    # P6 checksum: header digest else fabricated base32(sha1(body)).
+    # The sha1 runs JVM-side (native, no payload transfer); the cheap
+    # hex->base32 of the 40-char digest happens in the python UDF where
+    # base64.b32encode is a C call (a pure-expression base32 costs ~12us/row
+    # in conv/element_at trees — measured, see sha1_b32_expr docstring).
+    df = df.withColumn(
+        "_digest", F.replace(F.col("payload_digest"), F.lit("sha1:"),
+                             F.lit("")))
+    digest = F.col("_digest")
+    # resolved-without-fabrication part of the CASE; NULL means "fabricate"
+    checksum_pre = (
+        F.when(rt == "revisit", F.coalesce(digest, F.lit("-")))
+        .when((rt == "response")
+              & (is_resp_ct | F.col("_content").isNotNull()), digest))
+    df = df.withColumn("_checksum_pre", checksum_pre)
+    fab_body = (
+        F.when((rt == "response") & is_resp_ct,
+               F.coalesce(F.col("_content"), F.col("_pay"), F.lit("")))
+        .when((rt == "response") & F.col("_content").isNotNull(),
+              F.col("_content"))
+        .otherwise(F.coalesce(F.col("_pay"), F.lit(""))))
+    df = df.withColumn(
+        "_fab_hex",
+        F.when(F.col("_checksum_pre").isNull(),
+               F.sha1(F.encode(fab_body, "ISO-8859-1"))))
+
+    # P7 inputs: x-robots-tag header + a bounded html-head slice for the
+    # python meta scan.  Reference scans <meta> tags up to </head> (or the
+    # whole body if absent, cdx_writer.py:165-230); the slice keeps 4 KiB
+    # past </head> so a tag straddling it stays intact.
+    # (?i)</head> as locate-over-lower: intrinsic indexOf beats
+    # case-insensitive java regex ~8x here; latin-1 lower() preserves
+    # char positions 1:1.
+    df = df.withColumn(
+        "_hp", F.coalesce(F.locate("</head>", F.lower(F.col("_content"))),
+                          F.lit(0)))
+    hp = F.col("_hp")
+    slice_s = F.when(hp > 0, F.col("_content").substr(F.lit(1), hp + F.lit(4102))) \
+        .otherwise(F.col("_content"))
+    clen = F.col("content_length_hdr")
+    meta_gate = ((rt == "response") & (F.col("_mime") == "text/html")
+                 & F.col("_content").isNotNull()
+                 & (clen.isNull() | (clen <= META_PARSE_LIMIT)))
+    df = (df.withColumn("_status", status)
+            .withColumn("_x_robots", header("x-robots-tag"))
+            .withColumn("_meta_slice",
+                        F.when(meta_gate, F.encode(slice_s, "ISO-8859-1"))))
+    return df.drop("_pay", "_is_http", "_pos", "_hdrs", "_content",
+                   "_is_resp_ct", "_ct_hdr", "_ct_stripped", "_pre_semi_m",
+                   "_pre_semi", "_ct_replaced", "_digest", "_hp")
+
+
 def cdx_fields(records: DataFrame, *, all_records: bool = False,
                screenshot_mode: bool = False,
                excludes: list[str] | DataFrame | None = None,
@@ -139,18 +356,35 @@ def cdx_fields(records: DataFrame, *, all_records: bool = False,
     df = df.filter(F.col("content_length_hdr").isNull()
                    | (F.col("content_length_hdr") >= 0))
 
-    udf = (_make_py_fields_udf(True) if screenshot_mode else _py_fields_udf)
-    df = df.withColumn("_py", udf(
-        "record_type", "url_raw", "content_type", "payload",
-        "content_length_hdr", "payload_digest", "sfps", "filename"))
+    if screenshot_mode:
+        # niche path: keep the reference-shaped all-python kernel
+        udf = _make_py_fields_udf(True)
+        df = df.withColumn("_py", udf(
+            "record_type", "url_raw", "content_type", "payload",
+            "content_length_hdr", "payload_digest", "sfps", "filename"))
+        mime_c = F.col("_py.mime")
+        status_c = F.col("_py.status")
+        checksum_c = F.col("_py.checksum")
+    else:
+        # hot path: byte-heavy kernels as whole-stage-codegen Column exprs
+        # over the latin-1 (lossless bytes<->chars) view of the payload;
+        # python sees only url bytes + a bounded html-head slice.
+        df = _jvm_fields(df)
+        mime_c = F.col("_mime")
+        status_c = F.col("_status")
+        checksum_c = F.coalesce(F.col("_checksum_pre"),
+                                F.col("_py.checksum_fab"))
+        df = df.withColumn("_py", _py_url_meta_udf(
+            "record_type", "url_raw", "filename", "_meta_slice",
+            "_x_robots", "sfps", "_fab_hex"))
 
     df = df.select(
         F.col("_py.urlkey").alias("urlkey"),
         date_expr(F.col("date_raw")).alias("cdx_date"),
         F.col("_py.original_url").alias("original_url"),
-        F.col("_py.mime").alias("mime"),
-        F.col("_py.status").alias("status_code"),
-        F.col("_py.checksum").alias("checksum"),
+        mime_c.alias("mime"),
+        status_c.alias("status_code"),
+        checksum_c.alias("checksum"),
         F.lit("-").alias("redirect"),
         F.col("_py.meta_flags").alias("meta_flags"),
         F.coalesce(F.col("compressed_size").cast("string"), F.lit("-")).alias("rec_size"),
