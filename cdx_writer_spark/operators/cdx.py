@@ -294,16 +294,22 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
         .when((rt == "response")
               & (is_resp_ct | F.col("_content").isNotNull()), digest))
     df = df.withColumn("_checksum_pre", checksum_pre)
+    # hash the BINARY body slice directly (substring on BinaryType is
+    # byte-positional) — same bytes as the latin-1 _content view, minus a
+    # decode/encode round trip per row
+    content_bin = F.when(
+        is_http & (pos > 0),
+        F.substring(F.col("payload"), pos + sep_len, F.length("payload")))
+    empty_bin = F.lit(b"")
     fab_body = (
         F.when((rt == "response") & is_resp_ct,
-               F.coalesce(F.col("_content"), F.col("_pay"), F.lit("")))
+               F.coalesce(content_bin, F.col("payload"), empty_bin))
         .when((rt == "response") & F.col("_content").isNotNull(),
-              F.col("_content"))
-        .otherwise(F.coalesce(F.col("_pay"), F.lit(""))))
+              content_bin)
+        .otherwise(F.coalesce(F.col("payload"), empty_bin)))
     df = df.withColumn(
         "_fab_hex",
-        F.when(F.col("_checksum_pre").isNull(),
-               F.sha1(F.encode(fab_body, "ISO-8859-1"))))
+        F.when(F.col("_checksum_pre").isNull(), F.sha1(fab_body)))
 
     # P7 inputs: x-robots-tag header + a bounded html-head slice for the
     # python meta scan.  Reference scans <meta> tags up to </head> (or the
