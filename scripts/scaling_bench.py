@@ -1,20 +1,36 @@
 #!/usr/bin/env python3
 """Two-cluster-size scaling evidence (BASELINE.md protocol): run the SAME
-jobs on the SAME input at N and 4N cores in separate JVMs, report
-throughput at both plus efficiency = T(4N) / (4 * T(N)).
+jobs on the SAME input at N and 4N cores, report throughput at both plus
+efficiency = T(4N) / (4 * T(N)).
 
-Two workloads, matching the baseline metric "frontier advance + CDX
-rows/sec":
+Methodology hardened against this host's measured pathologies:
 
-* ``cdx_index`` — the CDX field pipeline (header split, sha1/base32,
-  SURT, meta-tag scan) over synthetic WARC response records.  One
-  embarrassingly parallel stage: this is the data plane that dominates a
-  real 10^10-URL run, and the workload the >=0.8 criterion is graded on.
-* ``crawl_frontier`` — the full iterative frontier loop (schedule ->
-  fetch-join -> parse -> dedup -> merge).  Reported for transparency: at
-  sandbox scale each generation carries fixed orchestration (job launch,
-  checkpoint barriers) that amortizes away at production batch sizes, so
-  its efficiency is an underestimate of cluster behaviour.
+* JVM heap pre-sized and pre-touched (-Xms -XX:+AlwaysPreTouch): heap
+  growth during the first heavy stage otherwise burns 400+ CPU-seconds
+  of kernel time zeroing pages inside the timed window.
+* Both JVMs stay alive for the whole session and timed runs are
+  INTERLEAVED in (N, 4N) pairs — host capacity drifts on a minutes
+  timescale (bursty steal from neighbors), so sequential N-then-4N
+  sessions compare different machines.  Only one JVM computes at a time;
+  the parked one is idle.  Efficiency = median of per-pair efficiencies.
+* One untimed FULL-SIZE warm run per JVM (codegen + python workers +
+  JIT) before any timed window; 5 timed pairs.
+* A pure-CPU hardware probe (scripts/cpu_capacity.py: sha1 in N python
+  processes, no JVM, no shared state) brackets the session.  Its
+  efficiency is the ceiling ANY job can reach on this box at that
+  moment; the report shows raw and hardware-normalized Spark numbers.
+* /proc/stat sys+steal jiffies are recorded per timed window.
+
+Workloads (matching the baseline metric "frontier advance + CDX rows/sec"):
+
+* ``cdx_index`` — the 11-field CDX pipeline over synthetic WARC response
+  records: one embarrassingly parallel stage, the data plane that
+  dominates a real 10^10-URL run.  This is the graded workload.
+* ``crawl_frontier`` — the full iterative frontier loop.  Reported for
+  transparency: at sandbox scale each generation carries fixed
+  orchestration (job launch, checkpoint barriers) that amortizes away at
+  production batch sizes (10^8 rows/generation), so its sandbox
+  efficiency underestimates cluster behaviour.
 
 Usage: python scripts/scaling_bench.py [n_records] [n_pages] [gens] [lo] [hi]
 Writes BENCH.md and prints one JSON line.
@@ -24,67 +40,151 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
-RUNNER = r"""
-import json, sys, time
+JVM_OPTS = "-Xms12g -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+
+CHILD = r"""
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "12g"
 from cdx_writer_spark.session import get_spark
-from bench import crawl_bench, index_bench
+from bench import crawl_bench, materialize, synth_warc_records
+from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
 cores = {cores}
-spark = get_spark(app_name="scaling-bench-%d" % cores, cores=cores)
+spark = get_spark(app_name="scaling-bench-%d" % cores, cores=cores,
+                  extra={{"spark.driver.extraJavaOptions": {jvm_opts!r}}})
 spark.sparkContext.setLogLevel("ERROR")
-# best of 2 per workload: the host VM shows bursty steal time; max-throughput
-# is robust to external slowdowns and both runs use warm workers/codegen
-idx_runs = [index_bench(spark, {n_records}) for _ in range(2)]
-idx = max(idx_runs, key=lambda r: r["cdx_rows_per_sec"])
-idx["all_runs_rows_per_sec"] = [r["cdx_rows_per_sec"] for r in idx_runs]
-crawl_runs = [crawl_bench(spark, {n_pages}, generations={gens}) for _ in range(2)]
-crawl = max(crawl_runs, key=lambda r: r["urls_per_sec"])
-crawl["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in crawl_runs]
-print("SCALING_RESULT " + json.dumps(
-    {{"cores": cores, "index": idx, "crawl": crawl}}))
+
+def stat():
+    with open('/proc/stat') as f:
+        p = f.readline().split()
+    return [int(x) for x in p[1:9]]
+
+recs = synth_warc_records(spark, {n_records})
+plan = cdx_lines(cdx_fields(recs))
+materialize(plan)   # untimed full-size warm (heap/JIT/python workers)
+print("READY", flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "RUN":
+        s0, t0 = stat(), time.time()
+        materialize(plan)
+        dt = time.time() - t0
+        d = [b - a for a, b in zip(s0, stat())]
+        print("RESULT " + json.dumps(
+            {{"rows_per_sec": round({n_records} / dt, 1),
+              "wall": round(dt, 2), "sys_jif": d[2],
+              "steal_jif": d[7]}}), flush=True)
+    elif cmd == "CRAWL":
+        runs = [crawl_bench(spark, {n_pages}, generations={gens})
+                for _ in range(2)]
+        best = max(runs, key=lambda r: r["urls_per_sec"])
+        best["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+        print("RESULT " + json.dumps(best), flush=True)
+    elif cmd == "QUIT":
+        break
+spark.stop()
 """
 
 
-def run_at(cores: int, n_records: int, n_pages: int, gens: int,
-           repo: str) -> dict:
-    code = RUNNER.format(repo=repo, cores=cores, n_records=n_records,
-                         n_pages=n_pages, gens=gens)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, cwd=repo, timeout=3600)
-    for line in out.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(f"no result at cores={cores}:\n{out.stdout[-2000:]}\n"
-                       f"{out.stderr[-2000:]}")
+class Runner:
+    def __init__(self, cores: int, n_records: int, n_pages: int, gens: int,
+                 repo: str):
+        code = CHILD.format(repo=repo, cores=cores, n_records=n_records,
+                            n_pages=n_pages, gens=gens, jvm_opts=JVM_OPTS)
+        self.cores = cores
+        self.p = subprocess.Popen(
+            [sys.executable, "-u", "-c", code], cwd=repo, text=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+
+    def _read(self, tag: str) -> dict | None:
+        for line in self.p.stdout:
+            line = line.strip()
+            if tag and line == tag:
+                return None
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(f"runner cores={self.cores} died")
+
+    def wait_ready(self):
+        self._read("READY")
+
+    def cmd(self, c: str) -> dict:
+        self.p.stdin.write(c + "\n")
+        self.p.stdin.flush()
+        return self._read("")
+
+    def quit(self):
+        try:
+            self.p.stdin.write("QUIT\n")
+            self.p.stdin.flush()
+            self.p.wait(timeout=60)
+        except Exception:
+            self.p.kill()
+
+
+def hardware_ceiling(lo: int, hi: int, repo: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "cpu_capacity.py"),
+         str(lo), str(hi)],
+        capture_output=True, text=True, timeout=600)
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
+    n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 1600000
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 400000
     gens = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 16
-
-    r_lo = run_at(lo, n_records, n_pages, gens, repo)
-    r_hi = run_at(hi, n_records, n_pages, gens, repo)
+    pairs = 5
     ratio = hi / lo
-    idx_eff = (r_hi["index"]["cdx_rows_per_sec"] / ratio) / \
-        r_lo["index"]["cdx_rows_per_sec"]
-    crawl_eff = (r_hi["crawl"]["urls_per_sec"] / ratio) / \
-        r_lo["crawl"]["urls_per_sec"]
+
+    hw_before = hardware_ceiling(lo, hi, repo)
+    r_lo = Runner(lo, n_records, n_pages, gens, repo)
+    r_lo.wait_ready()           # serialize the warms: no concurrent compute
+    r_hi = Runner(hi, n_records, n_pages, gens, repo)
+    r_hi.wait_ready()
+
+    lo_runs, hi_runs, pair_effs = [], [], []
+    for _ in range(pairs):
+        a = r_lo.cmd("RUN")
+        b = r_hi.cmd("RUN")
+        lo_runs.append(a)
+        hi_runs.append(b)
+        pair_effs.append((b["rows_per_sec"] / ratio) / a["rows_per_sec"])
+
+    crawl_lo = r_lo.cmd("CRAWL")
+    crawl_hi = r_hi.cmd("CRAWL")
+    r_lo.quit()
+    r_hi.quit()
+    hw_after = hardware_ceiling(lo, hi, repo)
+    hw_eff = round((hw_before["hardware_efficiency"]
+                    + hw_after["hardware_efficiency"]) / 2, 3)
+
+    lo_med = statistics.median(r["rows_per_sec"] for r in lo_runs)
+    hi_med = statistics.median(r["rows_per_sec"] for r in hi_runs)
+    idx_eff = statistics.median(pair_effs)
+    crawl_eff = (crawl_hi["urls_per_sec"] / ratio) / crawl_lo["urls_per_sec"]
     result = {
         "n_records": n_records, "n_pages": n_pages, "generations": gens,
-        "cores_lo": lo, "cores_hi": hi,
-        "index_rows_per_sec_lo": r_lo["index"]["cdx_rows_per_sec"],
-        "index_rows_per_sec_hi": r_hi["index"]["cdx_rows_per_sec"],
+        "cores_lo": lo, "cores_hi": hi, "pairs": pairs,
+        "index_rows_per_sec_lo": lo_med,
+        "index_rows_per_sec_hi": hi_med,
+        "index_pair_efficiencies": [round(e, 3) for e in pair_effs],
         "index_scaling_efficiency": round(idx_eff, 3),
-        "crawl_urls_per_sec_lo": r_lo["crawl"]["urls_per_sec"],
-        "crawl_urls_per_sec_hi": r_hi["crawl"]["urls_per_sec"],
+        "index_normalized_efficiency": round(idx_eff / hw_eff, 3),
+        "crawl_urls_per_sec_lo": crawl_lo["urls_per_sec"],
+        "crawl_urls_per_sec_hi": crawl_hi["urls_per_sec"],
         "crawl_scaling_efficiency": round(crawl_eff, 3),
+        "hardware_ceiling_efficiency": hw_eff,
+        "hw_before": hw_before, "hw_after": hw_after,
+        "runs_lo": lo_runs, "runs_hi": hi_runs,
         "target": 0.8,
         "pass": idx_eff >= 0.8,
     }
@@ -93,52 +193,70 @@ def main():
         f.write(f"""# BENCH — scaling evidence (N vs {mult}N cores)
 
 Protocol (BASELINE.md): the same two jobs on the same deterministic
-synthetic input, run in separate JVMs at local[{lo}] (N) and local[{hi}]
-({mult}N); shuffle partitions scale with cores (session.py); python
-workers + codegen warmed before the timed window; best of 2 runs per
-workload per JVM (the host VM shows bursty steal time — see
-scripts/cpu_capacity.py for the measured hardware ceiling: this box is
-near-linear only to ~16 effective cores, so N={lo}, {mult}N={hi} is the
-honest pair).
+synthetic input at local[{lo}] (N) and local[{hi}] ({mult}N); shuffle
+partitions scale with cores (session.py); heap pre-sized/pre-touched;
+one untimed full-size warm run per JVM.  Both JVMs stay alive and the
+{pairs} timed runs are INTERLEAVED in (N, {mult}N) pairs, because host
+capacity drifts minute-to-minute (bursty hypervisor steal — recorded
+per window below); **efficiency = median of per-pair efficiencies**, so
+drift cancels within each pair.  A pure-CPU multiprocess probe
+(scripts/cpu_capacity.py) bracketing the session measured this host's
+parallel-scaling ceiling at **{hw_eff}** for {lo}->{hi} workers
+(shared-VM memory bandwidth + steal) — the single-box substitute for
+N->4N executors; on a real cluster each executor brings its own memory
+bandwidth.
 
 ## Workload 1 — CDX indexing map (graded workload)
 
-The full 11-field CDX pipeline (HTTP header split, sha1/base32 digest,
-SURT urlkey, meta-tag scan) over {n_records} synthetic WARC response
-records.  Single embarrassingly-parallel stage — the data plane that
-dominates a real 10^10-URL crawl-and-index run.
+The full 11-field CDX pipeline (HTTP header split, sha1 digest, SURT
+urlkey, meta-tag scan; all byte-heavy kernels JVM-side) over
+{n_records} synthetic WARC response records.  Single embarrassingly
+parallel stage — the data plane that dominates a real 10^10-URL
+crawl-and-index run.
 
-| cores | wall sec | CDX rows/sec | runs (rows/sec) |
+| cores | CDX rows/sec (median of {pairs}) | per-run rows/sec | sys/steal jiffies per run |
 |---|---|---|---|
-| {lo} | {r_lo['index']['index_sec']} | {r_lo['index']['cdx_rows_per_sec']} | {r_lo['index'].get('all_runs_rows_per_sec')} |
-| {hi} | {r_hi['index']['index_sec']} | {r_hi['index']['cdx_rows_per_sec']} | {r_hi['index'].get('all_runs_rows_per_sec')} |
+| {lo} | {lo_med} | {[r['rows_per_sec'] for r in lo_runs]} | {[(r['sys_jif'], r['steal_jif']) for r in lo_runs]} |
+| {hi} | {hi_med} | {[r['rows_per_sec'] for r in hi_runs]} | {[(r['sys_jif'], r['steal_jif']) for r in hi_runs]} |
 
-**Scaling efficiency = throughput({mult}N) / ({mult} x throughput(N)) =
+Per-pair efficiencies: {[round(e, 3) for e in pair_effs]}
+
+**Scaling efficiency (median of pairs) =
 {result['index_scaling_efficiency']}** (target >= 0.8:
-{'PASS' if result['pass'] else 'FAIL'})
+{'PASS' if result['pass'] else 'FAIL'}); normalized to the measured
+hardware ceiling: {result['index_normalized_efficiency']}.
 
 ## Workload 2 — full frontier loop (transparency)
 
 Iterative crawl (Zipf hosts, {n_pages} pages, {gens} generations,
-politeness + bloom seen-set, checkpoint barriers each generation).
+politeness + bloom seen-set, checkpoint barriers each generation),
+best of 2 per JVM.
 
 | cores | wall sec | urls/sec (scheduled+discovered) | runs |
 |---|---|---|---|
-| {lo} | {r_lo['crawl']['crawl_sec']} | {r_lo['crawl']['urls_per_sec']} | {r_lo['crawl'].get('all_runs_urls_per_sec')} |
-| {hi} | {r_hi['crawl']['crawl_sec']} | {r_hi['crawl']['urls_per_sec']} | {r_hi['crawl'].get('all_runs_urls_per_sec')} |
+| {lo} | {crawl_lo['crawl_sec']} | {crawl_lo['urls_per_sec']} | {crawl_lo.get('all_runs_urls_per_sec')} |
+| {hi} | {crawl_hi['crawl_sec']} | {crawl_hi['urls_per_sec']} | {crawl_hi.get('all_runs_urls_per_sec')} |
 
 Scaling efficiency = {result['crawl_scaling_efficiency']}.  Each
-generation at sandbox scale carries ~fixed orchestration cost (job
-launch, localCheckpoint barriers, seen-set merge) of a few seconds that
-is independent of core count — Amdahl's fixed term.  At the production
-batch size (10^8 rows/generation at 10^10 URLs) that term is <1% of the
-generation; here it is a large fraction, so this number underestimates
-cluster scaling.  The per-row data plane (workload 1) is the scaling
-signal.
+generation at sandbox scale carries a ~fixed orchestration cost (job
+launch, localCheckpoint barriers, seen-set merge) independent of core
+count — Amdahl's fixed term.  At the production batch size (10^8
+rows/generation at 10^10 URLs) that term is <1% of the generation; here
+it is a large fraction, so this number underestimates cluster scaling.
+The per-row data plane (workload 1) is the scaling signal.
 
-Skew mitigation in play: salted (host, salt) partial top-k before the
-exact per-host politeness rank (salt factor 16); AQE skew-join splitting
-enabled.
+## Scale notes
+
+- Only shuffles in the crawl loop: politeness groupBy(host) +
+  priority top-k; host skew killed by salted (host, salt) partial
+  top-k before the exact per-host rank (salt factor 16), AQE skew-join
+  splitting enabled.
+- The CDX index map has NO shuffle (see PLANS.md: single
+  WholeStageCodegen -> ArrowEvalPython -> noop sink plan).
+- Spark's in-memory columnar cache and zstd parquet decode both
+  anti-scale under high task concurrency on this host (measured 16-core
+  scans slower than 4-core); the engine defaults avoid both
+  (session.py: snappy; benches: inline codegen synth, no .cache()).
 
 Raw: `{json.dumps(result)}`
 """)
