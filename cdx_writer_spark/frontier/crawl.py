@@ -35,6 +35,13 @@ __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
 N_SALT = 16
 
 
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @dataclass
 class CrawlConfig:
     per_host_budget: int = 4       # politeness: max fetches per host per gen
@@ -168,10 +175,13 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
-               robots: DataFrame | None, cfg: CrawlConfig, gen: int):
+               robots: DataFrame | None, cfg: CrawlConfig, gen: int,
+               bloom: tuple[bytes, int, int] | None = None):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
-    ``pages`` simulates the web: fetch = equi join on url."""
+    ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
+    optional pre-built seen-set filter (run_crawl maintains it incrementally
+    across generations); without one the exact anti-join runs alone."""
     # materialize the (small, batch-bounded) selection once — it feeds the
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains two window shuffles that must not re-execute per consumer
@@ -205,15 +215,9 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     if robots is not None:
         cand = robots_gate(cand, robots)
 
-    # seen-set: candidates anti-join seen (bloom pre-filter once seen is
-    # large enough that cutting its probe volume beats the build cost)
-    from .seen import anti_join_seen, build_bloom
-    bloom = None
-    if cfg.use_bloom:
-        cap = seen.count()
-        if cap >= cfg.bloom_min_keys:
-            bloom = build_bloom(seen, "urlkey", capacity=cap,
-                                fpp=cfg.bloom_fpp)
+    # seen-set: candidates anti-join seen (bloom pre-filter cuts the probe
+    # volume; the exact join stays the source of truth)
+    from .seen import anti_join_seen
     novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom)
 
     new_entries = novel.select(
@@ -249,11 +253,16 @@ def _gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, f"gen={gen:05d}")
 
 
-def save_state(root: str, gen: int, frontier: DataFrame, seen: DataFrame,
+def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
                cdx: DataFrame, metrics: dict):
+    """Per-generation snapshot.  ``seen`` is stored as a DELTA (this
+    generation's new keys; gen 0 additionally carries the seed keys) — the
+    seen set grows monotonically, so rewriting the whole set per generation
+    would be O(total) I/O per generation at 10^10 scale.  Resume unions the
+    deltas."""
     d = _gen_dir(root, gen)
     frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-    seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+    seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen"))
     cdx.write.mode("overwrite").parquet(os.path.join(d, "cdx"))
     manifest = dict(metrics)
     manifest["complete"] = True
@@ -262,7 +271,9 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen: DataFrame,
 
 
 def load_state(spark: SparkSession, root: str):
-    """Latest complete checkpoint -> (gen, frontier, seen, metrics) or None."""
+    """Latest complete checkpoint -> (gen, frontier, seen, metrics) or None.
+    ``seen`` is reassembled as the union of the per-generation deltas up to
+    and including the returned generation."""
     if not os.path.isdir(root):
         return None
     gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
@@ -274,7 +285,9 @@ def load_state(spark: SparkSession, root: str):
             if m.get("complete"):
                 gen = int(g.split("=")[1])
                 fr = spark.read.parquet(os.path.join(root, g, "frontier"))
-                seen = spark.read.parquet(os.path.join(root, g, "seen"))
+                seen = spark.read.parquet(
+                    *[os.path.join(_gen_dir(root, i), "seen")
+                      for i in range(gen + 1)])
                 return gen, fr, seen, m
     return None
 
@@ -285,10 +298,24 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     """Run ``generations`` crawl steps; returns (frontier, seen, all_cdx,
     metrics list).  With ``resume``, continues from the last complete
     checkpoint and never re-emits a CDX row (idempotence via anti-join on
-    already-emitted urlkeys per generation)."""
+    already-emitted urlkeys per generation).
+
+    Scale bookkeeping (all O(delta) per generation, never O(total)):
+    * the seen set is a UNION of per-generation checkpointed deltas — no
+      generation rewrites or re-materializes the whole set;
+    * the bloom filter over it is maintained incrementally: built once with
+      capacity headroom, then each generation ORs in the delta's bitmap;
+      rebuilt (with 4x capacity) only if the set outgrows it;
+    * the seen-set cardinality that gates/params the bloom is a running
+      total from per-generation novel counts — no seen.count() jobs."""
+    import numpy as np
+
+    from .seen import build_bloom
+
     start_gen = 0
     all_metrics: list[dict] = []
     emitted_keys = None
+    seen_parts: list[DataFrame]
     if resume and checkpoint_dir:
         state = load_state(spark, checkpoint_dir)
         if state is not None:
@@ -302,27 +329,62 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         else:
             resume = False
     if start_gen == 0:
-        frontier = init_frontier(seeds)
+        frontier = init_frontier(seeds).localCheckpoint(eager=True)
         seen = frontier.select("urlkey")
+    seen_parts = [seen]
+
+    seen_count = seen.count() if cfg.use_bloom else 0
+    bloom_bits: "np.ndarray | None" = None
+    bloom_mk: tuple[int, int] | None = None
+    bloom_cap = 0
 
     cdx_parts = []
     for gen in range(start_gen, generations):
+        if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
+                bloom_bits is None or seen_count > bloom_cap):
+            # (re)build over the full set with headroom so later generations
+            # only OR in their deltas
+            bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
+            b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
+                                  fpp=cfg.bloom_fpp)
+            bloom_bits = np.frombuffer(b, dtype=np.uint64).copy()
+            bloom_mk = (m, k)
+        bloom = ((bloom_bits.tobytes(), *bloom_mk)
+                 if bloom_bits is not None else None)
+
         frontier, new_seen, cdx, metrics = crawl_step(
-            pages, frontier, seen, robots, cfg, gen)
+            pages, frontier, seen, robots, cfg, gen, bloom=bloom)
         if emitted_keys is not None:
             cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
                            "urlkey", "left_anti")
-        seen = seen.unionByName(new_seen)
-        # materialize iteration state: truncates the logical-plan growth that
-        # iterative Spark jobs otherwise accumulate.  cdx needs no extra
-        # materialization — it is a pure projection of the already-
-        # checkpointed parse output.
+        # new_seen is already localCheckpoint-ed inside crawl_step
+        # (new_entries), so the union of parts re-materializes nothing
+        seen_parts.append(new_seen)
+        if len(seen_parts) >= 32:
+            # long crawls: compact the delta chain so per-part task overhead
+            # stays bounded — one O(total) pass amortized over 32 generations
+            seen_parts = [_union_all(seen_parts).localCheckpoint(eager=True)]
+        seen = _union_all(seen_parts)
+        # frontier feeds two consumers next generation (schedule + leftover
+        # anti-join) through window shuffles — materialize it once
         frontier = frontier.localCheckpoint(eager=True)
-        seen = seen.localCheckpoint(eager=True)
+        if cfg.use_bloom:
+            novel = metrics.get("novel")
+            if novel is None:
+                novel = new_seen.count()
+            seen_count += novel
+            if bloom_bits is not None and novel:
+                m, k = bloom_mk
+                b, _, _ = build_bloom(new_seen, "urlkey", m=m, k=k)
+                bloom_bits |= np.frombuffer(b, dtype=np.uint64)
         cdx_parts.append(cdx)
         all_metrics.append(metrics)
         if checkpoint_dir:
-            save_state(checkpoint_dir, gen, frontier, seen, cdx, metrics)
+            # gen 0's delta also carries the seed keys so the union of
+            # deltas reconstructs the full seen set on resume
+            delta = (seen_parts[0].unionByName(new_seen) if gen == 0
+                     else new_seen)
+            save_state(checkpoint_dir, gen, frontier, delta, cdx, metrics)
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
         all_cdx = all_cdx.unionByName(c)

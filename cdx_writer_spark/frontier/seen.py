@@ -40,11 +40,18 @@ def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, min(k, 8)
 
 
-def build_bloom(df: DataFrame, key: str, capacity: int,
-                fpp: float = 0.01) -> tuple[bytes, int, int]:
+def build_bloom(df: DataFrame, key: str, capacity: int = 0,
+                fpp: float = 0.01, m: int | None = None,
+                k: int | None = None) -> tuple[bytes, int, int]:
     """Distributed bloom build: per-partition numpy bitmaps, OR-reduced.
-    Returns (bitmap bytes, m_bits, k_hashes)."""
-    m, k = bloom_params(capacity, fpp)
+    Returns (bitmap bytes, m_bits, k_hashes).
+
+    Pass explicit ``m``/``k`` to build a DELTA bitmap compatible with an
+    existing filter (same geometry) — the caller ORs the two byte strings.
+    This is how the crawl loop maintains its seen-set filter incrementally:
+    O(novel) per generation instead of an O(total) rebuild."""
+    if m is None or k is None:
+        m, k = bloom_params(capacity, fpp)
     hashed = df.select(
         F.xxhash64(F.col(key), F.lit(1)).alias("h1"),
         F.xxhash64(F.col(key), F.lit(2)).bitwiseOR(F.lit(1)).alias("h2"))

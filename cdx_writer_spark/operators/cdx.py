@@ -202,10 +202,19 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
     # P15 split on the FIRST \r?\n\r?\n (python _CRLF_SPLIT.split(payload, 1)).
     # Any match of \r?\n\r?\n starts with one of exactly four literals, so
     # the leftmost match position is the min of four intrinsic indexOf
-    # scans — ~4x faster than java.util.regex over the payload.
-    locs = [F.nullif(F.locate(lit, pay), F.lit(0))
-            for lit in ("\n\n", "\n\r\n", "\r\n\n", "\r\n\r\n")]
-    df = df.withColumn("_pos", F.coalesce(F.least(*locs), F.lit(0)))
+    # scans — ~4x faster than java.util.regex over the payload.  The
+    # "\r\n\r\n" scan (early-terminating at the real header/body split for
+    # well-formed HTTP) BOUNDS the other three: any leftmost variant match
+    # starts at or before it, so they scan a header-sized prefix instead of
+    # re-walking the whole payload.  None of the four runs for non-HTTP rows.
+    pos4 = F.nullif(F.locate("\r\n\r\n", pay), F.lit(0))
+    head4 = F.when(pos4.isNotNull(),
+                   pay.substr(F.lit(1), pos4 + 1)).otherwise(pay)
+    locs = [F.nullif(F.locate(lit, head4), F.lit(0))
+            for lit in ("\n\n", "\n\r\n", "\r\n\n")]
+    df = df.withColumn(
+        "_pos",
+        F.when(is_http, F.coalesce(F.least(pos4, *locs), F.lit(0))))
     pos = F.col("_pos")
     # greedy match length at _pos (python regex prefers the longest here)
     s4 = pay.substr(pos, F.lit(4))
@@ -215,10 +224,15 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
                .otherwise(F.lit(2)))
     hdrs = (F.when(is_http & (pos > 0), pay.substr(F.lit(1), pos - 1))
             .when(is_http, pay))
-    content = F.when(is_http & (pos > 0),
-                     pay.substr(pos + sep_len, F.length(pay)))
     df = (df.withColumn("_hdrs", hdrs)
-            .withColumn("_content", content))
+            .withColumn("_sep_len", sep_len)
+            .withColumn("_has_body", F.coalesce(is_http & (pos > 0),
+                                                F.lit(False))))
+    sep_len = F.col("_sep_len")
+    has_body = F.col("_has_body")
+    # 1-based char offset of the body inside _pay (== byte offset inside
+    # payload: the header region is ASCII wherever a split was found)
+    cstart = pos + sep_len
 
     # P18 is_response: ^application/http;\s*msgtype=response$ case-insens.
     df = df.withColumn(
@@ -291,50 +305,64 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
     # resolved-without-fabrication part of the CASE; NULL means "fabricate"
     checksum_pre = (
         F.when(rt == "revisit", F.coalesce(digest, F.lit("-")))
-        .when((rt == "response")
-              & (is_resp_ct | F.col("_content").isNotNull()), digest))
+        .when((rt == "response") & (is_resp_ct | has_body), digest))
     df = df.withColumn("_checksum_pre", checksum_pre)
     # hash the BINARY body slice directly (substring on BinaryType is
     # byte-positional) — same bytes as the latin-1 _content view, minus a
     # decode/encode round trip per row
     content_bin = F.when(
-        is_http & (pos > 0),
-        F.substring(F.col("payload"), pos + sep_len, F.length("payload")))
+        has_body,
+        F.substring(F.col("payload"), cstart, F.length("payload")))
     empty_bin = F.lit(b"")
     fab_body = (
         F.when((rt == "response") & is_resp_ct,
                F.coalesce(content_bin, F.col("payload"), empty_bin))
-        .when((rt == "response") & F.col("_content").isNotNull(),
-              content_bin)
+        .when((rt == "response") & has_body, content_bin)
         .otherwise(F.coalesce(F.col("payload"), empty_bin)))
     df = df.withColumn(
         "_fab_hex",
         F.when(F.col("_checksum_pre").isNull(), F.sha1(fab_body)))
 
     # P7 inputs: x-robots-tag header + a bounded html-head slice for the
-    # python meta scan.  Reference scans <meta> tags up to </head> (or the
-    # whole body if absent, cdx_writer.py:165-230); the slice keeps 4 KiB
+    # python meta scan.  Reference scans <meta> tags up to (?i)</head> (or
+    # the whole body if absent, cdx_writer.py:165-230); the slice keeps 4 KiB
     # past </head> so a tag straddling it stays intact.
-    # (?i)</head> as locate-over-lower: intrinsic indexOf beats
-    # case-insensitive java regex ~8x here; latin-1 lower() preserves
-    # char positions 1:1.
-    df = df.withColumn(
-        "_hp", F.coalesce(F.locate("</head>", F.lower(F.col("_content"))),
-                          F.lit(0)))
-    hp = F.col("_hp")
-    slice_s = F.when(hp > 0, F.col("_content").substr(F.lit(1), hp + F.lit(4102))) \
-        .otherwise(F.col("_content"))
+    #
+    # Case-insensitive search WITHOUT copying the body: a zero-copy
+    # intrinsic indexOf finds the first lowercase "</head>" (the 99.9% case,
+    # early-terminating at the head end); the exact (?i)-leftmost match can
+    # only start at or before it, so only that head-sized prefix is lowered
+    # and rescanned (latin-1 lower() preserves char positions 1:1).  Only
+    # when NO lowercase "</head>" exists does the full body pay the lower().
+    # All of it runs only for ≤5MB text/html response bodies (meta_gate) —
+    # the old plan scanned+lowered every body twice, html or not.
     clen = F.col("content_length_hdr")
     meta_gate = ((rt == "response") & (F.col("_mime") == "text/html")
-                 & F.col("_content").isNotNull()
-                 & (clen.isNull() | (clen <= META_PARSE_LIMIT)))
+                 & has_body & (clen.isNull() | (clen <= META_PARSE_LIMIT)))
+    df = df.withColumn("_mgate", meta_gate)
+    mgate = F.col("_mgate")
+    df = df.withColumn(
+        "_hpf",
+        F.when(mgate,
+               F.nullif(F.call_function("locate", F.lit("</head>"), pay,
+                                        cstart), F.lit(0)) - cstart + 1))
+    body_low = F.lower(pay.substr(
+        cstart, F.coalesce(F.col("_hpf") + 6, F.length(pay))))
+    df = df.withColumn(
+        "_hp",
+        F.when(mgate, F.coalesce(F.nullif(F.locate("</head>", body_low),
+                                          F.lit(0)), F.lit(0))))
+    hp = F.col("_hp")
+    slice_s = (F.when(hp > 0, pay.substr(cstart, hp + F.lit(4102)))
+               .otherwise(pay.substr(cstart, F.length(pay))))
     df = (df.withColumn("_status", status)
             .withColumn("_x_robots", header("x-robots-tag"))
             .withColumn("_meta_slice",
-                        F.when(meta_gate, F.encode(slice_s, "ISO-8859-1"))))
-    return df.drop("_pay", "_is_http", "_pos", "_hdrs", "_content",
-                   "_is_resp_ct", "_ct_hdr", "_ct_stripped", "_pre_semi_m",
-                   "_pre_semi", "_ct_replaced", "_digest", "_hp")
+                        F.when(mgate, F.encode(slice_s, "ISO-8859-1"))))
+    return df.drop("_pay", "_is_http", "_pos", "_hdrs", "_sep_len",
+                   "_has_body", "_is_resp_ct", "_ct_hdr", "_ct_stripped",
+                   "_pre_semi_m", "_pre_semi", "_ct_replaced", "_digest",
+                   "_mgate", "_hpf", "_hp")
 
 
 def cdx_fields(records: DataFrame, *, all_records: bool = False,
