@@ -205,9 +205,15 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         .localCheckpoint(eager=True))
     cdx = page_cdx(parsed)
 
-    # discover: explode outlinks -> canonicalize -> in-batch dedup
+    # discover: explode outlinks -> dedup RAW urls -> canonicalize -> dedup
+    # urlkeys.  Nav-link duplication on the web is ~10x, so deduping the raw
+    # strings first (pure JVM hash agg) cuts the python SURT kernel's input
+    # by that factor; the second (cheap) agg merges the few raw spellings
+    # that canonicalize to the same urlkey.
     cand = (parsed.select(F.col("priority").alias("parent_priority"),
                           F.explode("outlinks").alias("url"))
+            .groupBy("url")
+            .agg(F.max("parent_priority").alias("parent_priority"))
             .transform(_with_keys)
             .groupBy("urlkey")
             .agg(F.max("parent_priority").alias("parent_priority"),

@@ -73,3 +73,24 @@ def test_spark_exclude_anti_join_path(spark):
     assert lines == sorted([
         "filedesc://51_23_20110804181044_crawl101.arc.gz",
         "com,monsterindia,jobs)/details/9660976.html"])
+
+
+def test_streaming_cdx_equals_batch(spark, tmp_path):
+    """The CDX map bound to a Structured Streaming file source must emit
+    exactly the batch pipeline's lines (stateless map => append mode)."""
+    from cdx_writer_spark.streaming.cdx_stream import (run_cdx_stream,
+                                                       stream_cdx_lines,
+                                                       stream_warc_records)
+    files = [os.path.join(FIXTURE_DIR, f) for f in
+             ("uncompressed.arc", "uncompressed.warc", "wget_ia.warc.gz")]
+    records = read_warc_records(spark, files)
+    batch = sorted(r["cdx_line"] for r in
+                   cdx_lines(cdx_fields(records, all_records=True)).collect())
+    src = tmp_path / "warc_records_dir"
+    # several files so the stream takes multiple micro-batches
+    records.repartition(3).write.parquet(str(src))
+    stream = stream_warc_records(spark, str(src), max_files_per_trigger=1)
+    run_cdx_stream(stream_cdx_lines(stream, all_records=True),
+                   str(tmp_path / "cdx_ckpt"), "stream_cdx_test")
+    got = sorted(r["cdx_line"] for r in spark.table("stream_cdx_test").collect())
+    assert got == batch
