@@ -142,6 +142,19 @@ def main():
     crawl_pages = int(200000 * sf / 0.1)
     crawl = crawl_bench(spark, max(crawl_pages, 5000))
     queries["crawl_frontier"] = crawl["crawl_sec"]
+
+    if cpus >= 24:
+        # This host class's DRAM bandwidth saturates at ~16 concurrent
+        # streaming tasks and COLLAPSES beyond (BENCH.md dual probe: 66->17
+        # GB/s from 16 to 32 numpy streamers).  The byte-heavy index map
+        # measured 2.3x faster at local[32] with task.cpus=2 (16 fat tasks)
+        # than with 32 thin ones — the standard Spark knob for
+        # bandwidth-bound stages, so the index bench runs in a session
+        # configured that way.
+        spark.stop()
+        spark = get_spark(app_name="cdx-writer-spark-bench-index",
+                          cores=cpus, extra={"spark.task.cpus": "2"})
+        spark.sparkContext.setLogLevel("ERROR")
     index = index_bench(spark, max(int(1000000 * sf / 0.1), 10000))
     queries["cdx_index"] = index["index_sec"]
     total = round(time.time() - t_all, 3)
