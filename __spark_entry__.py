@@ -113,10 +113,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine near-dup (rows-only)."""
+    """Random-hyperplane LSH cosine near-dup (rows-only).  The input unions
+    deterministic planted near-dups (vec_id+100000, embedding scaled by
+    1.01 — cosine 1.0, identical sign sketch) so the check is non-vacuous:
+    >= one pair per planted duplicate must be found."""
     from cdx_writer_spark.operators.dedup import embedding_near_dup
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup(emb, threshold=0.9).orderBy("vec_a", "vec_b")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    planted = (emb.filter(F.col("vec_id") < 40)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * F.lit(1.01))
+                       .cast("array<float>").alias("embedding")))
+    return (embedding_near_dup(emb.unionByName(planted), threshold=0.9)
+            .orderBy("vec_a", "vec_b"))
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,19 +140,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language ID over documents (rows-only)."""
+    """Marker-lexicon language ID over documents (DuckDB-oracled: the
+    marker-hit argmax with max-lang tiebreak is plain SQL)."""
     from cdx_writer_spark.operators.text import lang_id
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (lang_id(docs).select("doc_id", "lang", "pred_lang")
             .orderBy("doc_id"))
 
 
+# mirrors operators/text.py LANG_MARKERS + the array_max struct tiebreak
+# (max hits, then lexicographically greatest lang)
+ORACLE_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents),
+m(mlang, markers) AS (VALUES
+  ('en', ['the','and','of','to','is']),
+  ('de', ['der','die','und','ist','nicht']),
+  ('fr', ['le','la','et','est','les']),
+  ('es', ['el','la','que','de','es']),
+  ('zh', ['的','是','了','在','我'])),
+s AS (SELECT doc_id, lang, mlang,
+             len(list_intersect(toks, markers)) AS hits
+      FROM t CROSS JOIN m),
+r AS (SELECT doc_id, lang, mlang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, mlang DESC) AS rn
+      FROM s)
+SELECT doc_id, lang,
+       CASE WHEN hits > 0 THEN mlang ELSE 'und' END AS pred_lang
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media decode plumbing over Arrow batches (stub kernel —
-    image libs absent in this container; rows-only)."""
+    image libs absent in this container; rows-only).  The raw
+    ``array<float>`` feature column is projected to hashable scalars
+    (sum + dim + csv) because the driver canonicalizer sorts rows with
+    pandas, which cannot factorize list-valued cells."""
     from cdx_writer_spark.operators.multimodal import (image_features,
                                                        synth_media)
-    return image_features(synth_media(spark, 100)).orderBy("media_id")
+    feats = image_features(synth_media(spark, 100))
+    return (feats.select(
+        "media_id", "width", "height", "format",
+        F.round(F.expr("aggregate(feature, cast(0.0 as double),"
+                       " (a, x) -> a + x)"), 6).alias("feature_sum"),
+        F.size("feature").alias("feature_dim"),
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: F.round(x, 4).cast("string")))
+        .alias("feature_csv"))
+        .orderBy("media_id"))
 
 
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = dict(catalog.ORACLES)
     o["crawl_surt_urlkey"] = ORACLE_SURT_URLKEY
+    o["text_lang_id"] = ORACLE_LANG_ID
     # the streaming run must reproduce the batch tumbling-window oracle
     o["streaming_tumbling_window"] = catalog.ORACLE_TUMBLING
     return o

@@ -81,25 +81,24 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """64-bit SimHash per doc + banded candidate pairs.
 
     simhash bit i = sign of Σ_tokens (hash(token) bit i ? +1 : -1), built
-    entirely with JVM expressions: explode tokens → per-(doc, bit) votes →
-    bit reassembly.  Near-dup candidates share at least one of the four
-    16-bit chunks (≈ Hamming distance ≤ 3 guaranteed recall band trick)."""
+    entirely with JVM expressions: explode tokens → ONE ``groupBy(_id)``
+    carrying all 64 bit-vote counters as conditional sums (map-side
+    partials make the shuffle O(docs × 64 longs), NOT O(tokens × 64) —
+    the per-bit explode of the first cut shuffled 64× the token volume).
+    Near-dup candidates share at least one of the four 16-bit chunks
+    (≈ Hamming distance ≤ 3 guaranteed recall band trick)."""
     toks = (docs.select(F.col(id_col).alias("_id"),
                         F.explode(F.expr(
                             f"filter(split({text_col}, ' '), t -> t <> '')"))
                         .alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
-    bits = docs.sparkSession.range(64).select(F.col("id").alias("bit"))
-    votes = (toks.join(F.broadcast(bits))
-             .groupBy("_id", "bit")
-             .agg(F.sum(F.when(F.expr("shiftright(h, cast(bit as int)) & 1")
-                               == 1, 1)
-                        .otherwise(-1)).alias("vote")))
-    sim = (votes.groupBy("_id")
-           .agg(F.sum(F.when(F.col("vote") > 0,
-                             F.expr("shiftleft(cast(1 as bigint), "
-                                    "cast(bit as int))"))
-                      .otherwise(0)).alias("simhash")))
+    votes = [F.sum(F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, 1)
+                   .otherwise(-1)).alias(f"v{i}") for i in range(64)]
+    assemble = F.expr(" | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(64)))
+    sim = (toks.groupBy("_id").agg(*votes)
+           .select("_id", assemble.alias("simhash")))
     chunks = sim.select(
         "_id", "simhash",
         F.explode(F.array(*[

@@ -47,7 +47,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def kmeans_lite(emb: DataFrame, n_cells: int, iters: int = 3,
-                vec_col: str = "embedding", seed: int = 11) -> DataFrame:
+                vec_col: str = "embedding", seed: int = 11,
+                id_col: str = "vec_id") -> DataFrame:
     """Deterministic centroids via DataFrame-only Lloyd iterations:
     init = hash-sampled rows; update = elementwise mean via posexplode."""
     init = (emb.withColumn("_r", F.xxhash64(F.col(vec_col).cast("string"),
@@ -57,7 +58,7 @@ def kmeans_lite(emb: DataFrame, n_cells: int, iters: int = 3,
     cents = init.select(
         F.row_number().over(Window.orderBy("_r")).alias("cell"), "centroid")
     for _ in range(iters):
-        assigned = _assign(emb, cents, vec_col)
+        assigned = _assign(emb, cents, vec_col, id_col)
         cents = (assigned
                  .select("cell", F.posexplode(vec_col).alias("pos", "val"))
                  .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
@@ -68,15 +69,23 @@ def kmeans_lite(emb: DataFrame, n_cells: int, iters: int = 3,
     return cents
 
 
-def _assign(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+def _assign(emb: DataFrame, cents: DataFrame, vec_col: str,
+            id_col: str = "vec_id") -> DataFrame:
+    """Nearest cell per vector.  Groups on the scalar ``id_col`` ONLY —
+    never on the array<float> column (an array grouping key would make the
+    embedding bytes the shuffle-hash key; at 100 TB that shuffles the full
+    vector payload as key material).  The vector and any metadata ride
+    along as ``first()`` payloads (constant within each id group)."""
     scored = (emb.crossJoin(F.broadcast(cents))
               .withColumn("_sim", cosine_expr(F.col(vec_col), F.col("centroid"))))
+    others = [c for c in emb.columns if c != id_col]
     # nearest cell per vector without a window: max_by keeps it one agg;
     # ties break to the lowest cell id (determinism across parallelism)
-    return (scored.groupBy(*emb.columns)
-            .agg(F.max_by("cell", F.struct(
-                F.col("_sim").alias("s"),
-                (-F.col("cell")).alias("nc"))).alias("cell")))
+    return (scored.groupBy(id_col)
+            .agg(*[F.first(c).alias(c) for c in others],
+                 F.max_by("cell", F.struct(
+                     F.col("_sim").alias("s"),
+                     (-F.col("cell")).alias("nc"))).alias("cell")))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -84,8 +93,9 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", qid_col: str = "query_id",
              qvec_col: str = "qvec", iters: int = 2) -> DataFrame:
     """ANN: probe only the n_probe nearest centroid cells per query."""
-    cents = kmeans_lite(emb, n_cells, iters=iters, vec_col=vec_col)
-    inverted = _assign(emb, cents, vec_col)  # vector -> cell
+    cents = kmeans_lite(emb, n_cells, iters=iters, vec_col=vec_col,
+                        id_col=id_col)
+    inverted = _assign(emb, cents, vec_col, id_col)  # vector -> cell
     qcells = (queries.crossJoin(F.broadcast(cents))
               .withColumn("_sim", cosine_expr(F.col(qvec_col), F.col("centroid"))))
     wq = Window.partitionBy(qid_col).orderBy(F.desc("_sim"), "cell")

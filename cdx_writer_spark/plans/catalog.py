@@ -220,10 +220,10 @@ def filter_stats(spark, sf):
 
 ORACLE_FILTER_STATS = """
 SELECT count(*) AS num_records_processed,
-       sum(CASE WHEN event_type IN ('view','click','purchase') AND NOT (value < 0.1)
-                THEN 1 ELSE 0 END) AS num_records_included,
-       sum(CASE WHEN event_type IN ('view','click','purchase') AND value < 0.1
-                THEN 1 ELSE 0 END) AS num_records_filtered
+       CAST(sum(CASE WHEN event_type IN ('view','click','purchase') AND NOT (value < 0.1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS num_records_included,
+       CAST(sum(CASE WHEN event_type IN ('view','click','purchase') AND value < 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) AS num_records_filtered
 FROM events
 """
 
@@ -260,7 +260,7 @@ def union_dedup(spark, sf):
 
 
 ORACLE_UNION_DEDUP = """
-SELECT count(*) AS n_users, sum(user_id) AS sum_uid
+SELECT count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS sum_uid
 FROM (SELECT user_id FROM events WHERE event_type = 'signup'
       UNION
       SELECT user_id FROM events WHERE event_type = 'purchase')
@@ -316,8 +316,8 @@ def dedup_exact(spark, sf):
 
 ORACLE_DEDUP_EXACT = """
 SELECT count(*) AS distinct_docs,
-       sum(dup_count - 1) AS exact_dups,
-       sum(keep_doc_id) AS sum_keep_ids
+       CAST(sum(dup_count - 1) AS BIGINT) AS exact_dups,
+       CAST(sum(keep_doc_id) AS BIGINT) AS sum_keep_ids
 FROM (SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
              count(*) AS dup_count
       FROM documents GROUP BY md5(text))
@@ -380,7 +380,7 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
 SELECT count(*) AS candidate_pairs,
-       coalesce(sum(doc_a + doc_b), 0) AS pair_id_sum
+       CAST(coalesce(sum(doc_a + doc_b), 0) AS BIGINT) AS pair_id_sum
 FROM pairs
 """
 
@@ -388,8 +388,18 @@ FROM pairs
 def dedup_ngram_jaccard(spark, sf):
     """n-gram (3-word shingle) Jaccard near-dup pairs over exploded shingles:
     |A∩B| via equi-join counts, |A∪B| = |A|+|B|-|A∩B|.  Blocked by lang to
-    bound the pair space (the scale path adds minhash pre-filtering)."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    bound the pair space (the scale path adds minhash pre-filtering).
+
+    The input unions deterministic planted near-duplicates (doc_id+100000,
+    text + ' planted variant') so the check is non-vacuous: every base doc
+    pairs with its variant at jaccard = S/(S+2) >= 0.5, and both engines
+    must agree on exactly which organic pairs clear the bar too."""
+    base = (_t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+            .select("doc_id", "lang", "text"))
+    variants = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("lang"),
+        F.concat(F.col("text"), F.lit(" planted variant")).alias("text"))
+    d = base.unionByName(variants)
     tok = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     sh = (tok.select("doc_id", "lang",
                      F.explode(F.expr(
@@ -413,16 +423,20 @@ def dedup_ngram_jaccard(spark, sf):
                    F.round(F.col("inter") /
                            (F.col("sa.n_shingles") + F.col("sb.n_shingles")
                             - F.col("inter")), 4).alias("jaccard")))
-    return jac.filter(F.col("jaccard") >= 0.12).orderBy("doc_a", "doc_b")
+    return jac.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
 
 
 ORACLE_JACCARD = """
-WITH sh AS (
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000, lang, text || ' planted variant'
+  FROM documents WHERE doc_id < 60),
+sh AS (
   SELECT DISTINCT doc_id, lang, shingle
   FROM (SELECT doc_id, lang,
                concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]) AS shingle
-        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-              FROM documents WHERE doc_id < 100),
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM d),
              (SELECT unnest(range(0, 10000)) AS i)
         WHERE i <= len(toks) - 3)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -435,7 +449,7 @@ SELECT doc_a, doc_b,
        round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
            JOIN sizes sb ON doc_b = sb.doc_id
-WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.12
+WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
@@ -518,7 +532,7 @@ def token_stats(spark, sf):
 
 ORACLE_TOKEN_STATS = """
 SELECT lang, count(*) AS docs,
-       sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
        round(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4) AS avg_tokens,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
