@@ -32,7 +32,8 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
-__all__ = ["Record", "read_archive", "parse_archive_bytes"]
+__all__ = ["Record", "read_archive", "parse_archive_bytes",
+           "stream_archive_records"]
 
 _IP_RE = re.compile(rb"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
 _DIGITS_RE = re.compile(rb"^-?\d+$")
@@ -280,6 +281,273 @@ def _parse_warc_stream(chunks, filename: str):
             idx += 1
             pos = nxt
     return records
+
+
+# ------------------------------------------------------- streaming ----
+#
+# Multi-GB archives must never be materialized as one bytes object (the
+# reference streams them too: /root/reference/tests/test_large_warcs.py:7-27
+# runs 4 multi-GB WARCs through the same single-pass engine).  The streaming
+# layer below reads fixed-size chunks from a file object, decompresses gzip
+# members incrementally, and yields Records with O(record) buffering —
+# byte-identical offsets/sizes to the batch parsers above (pinned by
+# tests/test_warc_stream.py over every reference fixture at several chunk
+# sizes).
+
+
+class _HeadReader:
+    """read(n) facade over (already-read head bytes ++ file object)."""
+
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def read(self, n: int) -> bytes:
+        if self._head:
+            out, self._head = self._head[:n], self._head[n:]
+            return bytes(out)
+        return self._f.read(n)
+
+
+def _gzip_members_from(reader, chunk_size: int = 1 << 20):
+    """Incrementally split a gzip stream into (offset, csize, plain_bytes)
+    members.  Buffers at most one chunk + one decompressed member."""
+    buf = reader.read(chunk_size)
+    file_pos = 0
+    while buf:
+        while len(buf) < 2:
+            nb = reader.read(chunk_size)
+            if not nb:
+                break
+            buf += nb
+        if buf[:2] != _GZIP_MAGIC:
+            raise ValueError("not a gzip member at offset %d" % file_pos)
+        member_start = file_pos
+        d = zlib.decompressobj(47)
+        out = []
+        while True:
+            out.append(d.decompress(buf))
+            if d.eof:
+                tail = d.flush()
+                if tail:
+                    out.append(tail)
+                unused = d.unused_data
+                file_pos += len(buf) - len(unused)
+                yield member_start, file_pos - member_start, b"".join(out)
+                buf = unused or reader.read(chunk_size)
+                break
+            file_pos += len(buf)
+            buf = reader.read(chunk_size)
+            if not buf:
+                tail = d.flush()
+                if tail:
+                    out.append(tail)
+                # truncated trailing member: surface what decompressed
+                yield member_start, file_pos - member_start, b"".join(out)
+                return
+
+
+def _iter_warc_compressed(members, filename: str):
+    """Streaming twin of the compressed branch of _parse_warc_stream."""
+    idx = 0
+    cur = None  # [start_offset, csize_sum, data]
+    parsed = None
+    for off, csize, data in members:
+        if cur is None:
+            cur = [off, csize, data]
+        else:
+            cur[1] += csize
+            cur[2] += data
+        parsed = _parse_warc_block(cur[2], 0)
+        if parsed is None or len(cur[2]) < parsed[2]:
+            continue  # record spans members (chunked-flush writers)
+        headers, payload, _eop, _nxt = parsed
+        yield _warc_record_from(headers, payload, filename, idx,
+                                cur[0], cur[1])
+        idx += 1
+        cur = None
+        parsed = None
+    if cur is not None and parsed is not None:
+        # truncated trailing record — the batch parser emits it too
+        headers, payload, _eop, _nxt = parsed
+        yield _warc_record_from(headers, payload, filename, idx,
+                                cur[0], cur[1])
+
+
+def _iter_arc_compressed(members, filename: str):
+    """Streaming twin of the compressed branch of _parse_arc_stream."""
+    idx = 0
+    cur = None  # [start_offset, csize_sum, data, url, date, ctype, length]
+
+    def build(url, date, ctype, length, payload, offset, csize, i):
+        rtype = "filedesc" if url.startswith(b"filedesc:") else "response"
+        if ctype is not None:
+            ctype = ctype.split(b";")[0].strip() or None
+        if rtype == "filedesc":
+            payload = b""
+        return Record(
+            filename=filename, record_idx=i, offset=offset,
+            compressed_size=csize, record_type=rtype, url=url,
+            date_raw=date, content_type=ctype, content_length_hdr=length,
+            payload=payload, headers={"content-length": str(length)})
+
+    for off, csize, chunk in members:
+        if cur is None:
+            data = chunk.lstrip(b"\n")
+            if not data:
+                continue
+            nl = data.find(b"\n")
+            if nl < 0:
+                nl = len(data)
+            url, date, ctype, length = _parse_arc_header_line(data[:nl])
+            cur = [off, csize, data, url, date, ctype, length, nl + 1]
+        else:
+            cur[1] += csize
+            cur[2] += chunk
+        _off, _cs, data, url, date, ctype, length, body_start = cur
+        want = max(length, 0)
+        if len(data) < body_start + want:
+            continue  # payload spans members
+        yield build(url, date, ctype, length,
+                    data[body_start: body_start + want],
+                    cur[0], cur[1], idx)
+        idx += 1
+        cur = None
+    if cur is not None:
+        _off, _cs, data, url, date, ctype, length, body_start = cur
+        want = max(length, 0)
+        yield build(url, date, ctype, length,
+                    data[body_start: body_start + want],
+                    cur[0], cur[1], idx)
+
+
+def _iter_warc_raw(reader, filename: str, chunk_size: int = 1 << 20):
+    """Streaming twin of the uncompressed branch of _parse_warc_stream:
+    rolling buffer holding at most one record + one read chunk.  The batch
+    parser consumes inter-record newline runs via ``nxt``; here separator
+    bytes may arrive in a later chunk, so leading newlines are skipped
+    explicitly before each parse."""
+    buf = b""
+    base = 0            # absolute file offset of buf[0]
+    idx = 0
+    eof = False
+    while True:
+        i = 0
+        while i < len(buf) and (buf[i: i + 1] == b"\n"
+                                or buf[i: i + 2] == b"\r\n"):
+            i += 2 if buf[i: i + 2] == b"\r\n" else 1
+        if i:
+            buf = buf[i:]
+            base += i
+        if buf == b"\r" and not eof:
+            # could be the first half of a CRLF separator
+            nb = reader.read(chunk_size)
+            if nb:
+                buf += nb
+                continue
+            eof = True
+        parsed = _parse_warc_block(buf, 0) if buf else None
+        need_more = parsed is None or len(buf) < parsed[2]
+        if need_more and not eof:
+            nb = reader.read(chunk_size)
+            if nb:
+                buf += nb
+                continue
+            eof = True
+            parsed = _parse_warc_block(buf, 0) if buf else None
+        if parsed is None:
+            return  # batch parser breaks on unparseable position too
+        headers, payload, end_of_payload, nxt = parsed
+        yield _warc_record_from(headers, payload, filename, idx, base,
+                                end_of_payload)
+        idx += 1
+        buf = buf[nxt:]
+        base += nxt
+        if not buf and eof:
+            return
+
+
+def _iter_arc_raw(reader, filename: str, chunk_size: int = 1 << 20):
+    """Streaming twin of the uncompressed branch of _parse_arc_stream."""
+    buf = b""
+    base = 0
+    idx = 0
+    eof = False
+    while True:
+        # skip inter-record newlines
+        i = 0
+        while i < len(buf) and buf[i: i + 1] == b"\n":
+            i += 1
+        if i:
+            buf = buf[i:]
+            base += i
+        nl = buf.find(b"\n")
+        if (not buf or nl < 0) and not eof:
+            nb = reader.read(chunk_size)
+            if nb:
+                buf += nb
+                continue
+            eof = True
+            nl = buf.find(b"\n")
+        if not buf:
+            return
+        if nl < 0:
+            nl = len(buf)
+        url, date, ctype, length = _parse_arc_header_line(buf[:nl])
+        want = max(length, 0)
+        body_start = nl + 1
+        while len(buf) < body_start + want and not eof:
+            nb = reader.read(chunk_size)
+            if nb:
+                buf += nb
+            else:
+                eof = True
+        payload = buf[body_start: body_start + want]
+        rtype = "filedesc" if url.startswith(b"filedesc:") else "response"
+        if ctype is not None:
+            ctype = ctype.split(b";")[0].strip() or None
+        if rtype == "filedesc":
+            payload = b""
+        yield Record(
+            filename=filename, record_idx=idx, offset=base,
+            compressed_size=(body_start - 0) + want,
+            record_type=rtype, url=url, date_raw=date, content_type=ctype,
+            content_length_hdr=length, payload=payload,
+            headers={"content-length": str(length)})
+        idx += 1
+        buf = buf[body_start + want:]
+        base += body_start + want
+        if not buf and eof:
+            return
+
+
+def stream_archive_records(f, filename: str, chunk_size: int = 1 << 20):
+    """Yield Records from an open binary file object with O(record) memory
+    (gzip auto-detected, WARC/ARC auto-sniffed — same observable behavior
+    as :func:`parse_archive_bytes`, which materializes the whole file).
+
+    This is the kernel behind the path-distributing Spark source for
+    multi-GB archives (sources/warc.py): the 2 GiB Arrow single-cell limit
+    and O(file) executor memory of ``binaryFile`` never apply because file
+    bytes stay on the executor-local read path."""
+    head = f.read(chunk_size)
+    if not head:
+        return iter(())
+    reader = _HeadReader(head, f)
+    if head[:2] == _GZIP_MAGIC:
+        members = _gzip_members_from(reader, chunk_size)
+        try:
+            first = next(members)
+        except StopIteration:
+            return iter(())
+        import itertools
+        rest = itertools.chain([first], members)
+        if first[2][:64].startswith(b"WARC/"):
+            return _iter_warc_compressed(rest, filename)
+        return _iter_arc_compressed(rest, filename)
+    if head[:64].startswith(b"WARC/"):
+        return _iter_warc_raw(reader, filename, chunk_size)
+    return _iter_arc_raw(reader, filename, chunk_size)
 
 
 # ---------------------------------------------------------------- API ----
