@@ -106,18 +106,29 @@ def synth_warc_records(spark, n: int):
 
 def index_bench(spark, n_records: int):
     """CDX rows/sec through the full field pipeline — one embarrassingly
-    parallel stage (the reference's whole engine, distributed)."""
+    parallel stage (the reference's whole engine, distributed).
+
+    Protocol matches scripts/scaling_bench.py (the round-1 14x gap between
+    this bench and the microbench was this bench running COLD): one
+    untimed FULL-SIZE warm run (codegen + python workers + JIT + heap
+    growth all land outside the timed window), then best-of-2 timed runs
+    (this host has minutes-scale bursty hypervisor steal; min is the
+    standard throughput estimator under one-sided noise)."""
     from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
     # NO .cache(): see crawl_bench — the columnar cache anti-scales with
     # task concurrency here; inline codegen synth scales at ~0.96.
     recs = synth_warc_records(spark, n_records)
-    # warm workers + codegen
-    materialize(cdx_lines(cdx_fields(recs.limit(4096))))
-    t0 = time.time()
+    # warm at full size (untimed)
     materialize(cdx_lines(cdx_fields(recs)))
-    dt = time.time() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        materialize(cdx_lines(cdx_fields(recs)))
+        times.append(time.time() - t0)
+    dt = min(times)
     return {"index_sec": round(dt, 3), "records": n_records,
-            "cdx_rows_per_sec": round(n_records / dt, 1)}
+            "cdx_rows_per_sec": round(n_records / dt, 1),
+            "index_sec_runs": [round(t, 3) for t in times]}
 
 
 def main():
@@ -129,7 +140,14 @@ def main():
     from cdx_writer_spark.plans.catalog import QUERIES
     from cdx_writer_spark.session import get_spark
 
-    spark = get_spark(app_name="cdx-writer-spark-bench", cores=cpus)
+    # pre-size + pre-touch the heap: lazy heap growth during the first
+    # heavy stage otherwise burns 400+ CPU-seconds of kernel page-zeroing
+    # inside timed windows (scripts/scaling_bench.py protocol)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    jvm_opts = {"spark.driver.extraJavaOptions":
+                "-Xms12g -XX:+AlwaysPreTouch -XX:+UseParallelGC"}
+    spark = get_spark(app_name="cdx-writer-spark-bench", cores=cpus,
+                      extra=jvm_opts)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
@@ -153,7 +171,8 @@ def main():
         # configured that way.
         spark.stop()
         spark = get_spark(app_name="cdx-writer-spark-bench-index",
-                          cores=cpus, extra={"spark.task.cpus": "2"})
+                          cores=cpus,
+                          extra={"spark.task.cpus": "2", **jvm_opts})
         spark.sparkContext.setLogLevel("ERROR")
     index = index_bench(spark, max(int(1000000 * sf / 0.1), 10000))
     queries["cdx_index"] = index["index_sec"]

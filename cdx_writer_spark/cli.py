@@ -11,7 +11,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
+from pyspark.sql import Observation, functions as F
 
 
 def main(argv=None):
@@ -33,6 +33,9 @@ def main(argv=None):
                    help="write json stats (processed/included/filtered)")
     p.add_argument("--sort", action="store_true",
                    help="globally sort output by (urlkey, date)")
+    p.add_argument("--strict", action="store_true",
+                   help="abort on malformed/truncated records (reference "
+                        "ParseError parity) instead of skipping them")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -64,16 +67,25 @@ def main(argv=None):
     # default, which is tuned for KB-scale page rows.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
     records = read_warc_records(spark, inputs,
-                                use_full_path=args.use_full_path)
+                                use_full_path=args.use_full_path,
+                                strict=args.strict)
+    # stats parity with the reference (cdx_writer.py:659,674):
+    # `processed` counts EVERY record read (before the type filter),
+    # `filtered` counts exclude hits, `included` counts emitted lines.
+    # Both counters ride as observe() metrics on the one job that writes
+    # the output — no extra pass over the archives.
+    obs_all = Observation()
+    records = records.observe(obs_all, F.count(F.lit(1)).alias("n"))
     fields = cdx_fields(records, all_records=args.all_records,
                         excludes=excludes, keep_excluded_flag=True)
     if args.file_prefix:
         fields = fields.withColumn(
             "warc_name", F.concat(F.lit(args.file_prefix.rstrip("/") + "/"),
                                   F.col("warc_name")))
-    stats_row = fields.agg(
-        F.count("*").alias("p"),
-        F.sum(F.when(F.col("excluded"), 1).otherwise(0)).alias("f")).collect()[0]
+    obs_kept = Observation()
+    fields = fields.observe(
+        obs_kept, F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("excluded"), 1).otherwise(0)).alias("excl"))
     kept = fields.filter(~F.col("excluded"))
     lines = cdx_lines(kept, fmt=args.format, sort=args.sort)
 
@@ -82,18 +94,34 @@ def main(argv=None):
         (lines.select("cdx_line")
          .write.mode("overwrite").text(out_path))
         print(header, file=sys.stderr)
+    elif args.stats_file:
+        # observe() metrics only materialize when a full action completes;
+        # toLocalIterator keeps the query open and would hang obs.get, so
+        # write to a scratch dir (one pass, fires the observations) and
+        # stream the part files to stdout in partition order
+        import glob as globmod
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="cdx_out_")
+        try:
+            lines.select("cdx_line").write.mode("overwrite").text(tmp)
+            print(header)
+            for part in sorted(globmod.glob(f"{tmp}/part-*")):
+                with open(part) as fh:
+                    shutil.copyfileobj(fh, sys.stdout)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     else:
         print(header)
         for r in lines.toLocalIterator():
             print(r["cdx_line"])
 
     if args.stats_file:
-        # note: unlike the reference (one process per file), `processed`
-        # counts only records surviving the type filter unless --all-records
+        n_excl = int(obs_kept.get["excl"])
         stats = {
-            "num_records_processed": int(stats_row["p"]),
-            "num_records_included": int(stats_row["p"]) - int(stats_row["f"]),
-            "num_records_filtered": int(stats_row["f"]),
+            "num_records_processed": int(obs_all.get["n"]),
+            "num_records_included": int(obs_kept.get["n"]) - n_excl,
+            "num_records_filtered": n_excl,
         }
         with open(args.stats_file, "w") as fh:
             json.dump(stats, fh, indent=4)

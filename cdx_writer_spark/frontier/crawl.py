@@ -50,6 +50,14 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     use_bloom: bool = True
     bloom_min_keys: int = 200_000   # below this the exact join is cheaper
+    # 0 = driver-global broadcast bloom (fine to ~10^8 keys); > 0 = the
+    # sharded (shard, bitmap)-table bloom from frontier/seen.py whose
+    # driver memory is O(1) in the key count — the 10^10 deployment.
+    bloom_shards: int = 0
+    # global mode: novel keys accumulate in a small exact side table and
+    # the bitmap is re-OR-ed + re-broadcast only when they exceed this,
+    # so broadcast serialization is amortized instead of per-generation
+    bloom_rebroadcast_keys: int = 250_000
     collect_metrics: bool = True
 
 
@@ -176,12 +184,22 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                robots: DataFrame | None, cfg: CrawlConfig, gen: int,
-               bloom: tuple[bytes, int, int] | None = None):
+               bloom=None, recent: DataFrame | None = None):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
     ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
-    optional pre-built seen-set filter (run_crawl maintains it incrementally
-    across generations); without one the exact anti-join runs alone."""
+    optional pre-built seen-set filter — a (bitmap|Broadcast, m, k) tuple
+    or a seen.ShardedBloom (run_crawl maintains either incrementally);
+    ``recent`` is the small set of keys seen since the filter last covered
+    the full set (see seen.anti_join_seen).  Without a bloom the exact
+    anti-join runs alone.
+
+    Metric counts ride as ``observe()`` metrics on the two frames this
+    step already materializes (parsed, new_entries) — zero extra jobs per
+    generation (the count() jobs they replace were the loop's Amdahl
+    serial term at small batch sizes)."""
+    from pyspark.sql import Observation
+
     # materialize the (small, batch-bounded) selection once — it feeds the
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains two window shuffles that must not re-execute per consumer
@@ -197,11 +215,13 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # raw html) — both the CDX emission and the discovery stage read it, so
     # the web table is scanned exactly once per generation
     from ..functions.udfs import sha1_b32
+    obs_parsed = Observation()
     parsed = (fetched.select(
         "urlkey", "url", "warc_ts", "generation", "priority",
         sha1_b32("html").alias("checksum"),
         F.length("html").alias("html_len"),
         extract_outlinks("html", "url").alias("outlinks"))
+        .observe(obs_parsed, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True))
     cdx = page_cdx(parsed)
 
@@ -224,12 +244,15 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # seen-set: candidates anti-join seen (bloom pre-filter cuts the probe
     # volume; the exact join stays the source of truth)
     from .seen import anti_join_seen
-    novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom)
+    novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent)
 
-    new_entries = novel.select(
+    obs_novel = Observation()
+    new_entries = (novel.select(
         "urlkey", "url", "host",
         F.round(F.col("parent_priority") * cfg.priority_decay, 6).alias("priority"),
-        F.lit(gen + 1).alias("generation")).localCheckpoint(eager=True)
+        F.lit(gen + 1).alias("generation"))
+        .observe(obs_novel, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True))
 
     leftover = frontier.join(selected.select("urlkey"), "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
@@ -238,18 +261,15 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # so the union below needs no dedup shuffle)
     new_seen_keys = new_entries.select("urlkey")
 
-    if cfg.collect_metrics:
-        # both counts run against already-materialized (checkpointed)
-        # frames — cheap metadata-ish jobs, no recomputation
-        n_fetched = parsed.count()
-        metrics = {
-            "generation": gen,
-            "scheduled": n_fetched,    # == fetched == cdx rows by design
-            "novel": new_entries.count(),
-            "cdx_rows": n_fetched,
-        }
-    else:
-        metrics = {"generation": gen}
+    # the eager localCheckpoints above already ran the jobs; these gets
+    # return recorded metrics without launching anything
+    n_fetched = int(obs_parsed.get["n"])
+    metrics = {
+        "generation": gen,
+        "scheduled": n_fetched,    # == fetched == cdx rows by design
+        "novel": int(obs_novel.get["n"]),
+        "cdx_rows": n_fetched,
+    }
     return next_frontier, new_seen_keys, cdx, metrics
 
 
@@ -272,6 +292,9 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
     cdx.write.mode("overwrite").parquet(os.path.join(d, "cdx"))
     manifest = dict(metrics)
     manifest["complete"] = True
+    # format stamp: 'delta-v2' = per-generation seen DELTAS (union to
+    # reassemble); absent = legacy full-snapshot-per-generation format
+    manifest["seen_format"] = "delta-v2"
     with open(os.path.join(d, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
 
@@ -291,9 +314,15 @@ def load_state(spark: SparkSession, root: str):
             if m.get("complete"):
                 gen = int(g.split("=")[1])
                 fr = spark.read.parquet(os.path.join(root, g, "frontier"))
-                seen = spark.read.parquet(
-                    *[os.path.join(_gen_dir(root, i), "seen")
-                      for i in range(gen + 1)])
+                if m.get("seen_format") == "delta-v2":
+                    seen = spark.read.parquet(
+                        *[os.path.join(_gen_dir(root, i), "seen")
+                          for i in range(gen + 1)])
+                else:
+                    # legacy checkpoints stored the FULL seen set every
+                    # generation — unioning those would duplicate rows and
+                    # inflate the count that sizes the bloom
+                    seen = spark.read.parquet(os.path.join(root, g, "seen"))
                 return gen, fr, seen, m
     return None
 
@@ -309,14 +338,24 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     Scale bookkeeping (all O(delta) per generation, never O(total)):
     * the seen set is a UNION of per-generation checkpointed deltas — no
       generation rewrites or re-materializes the whole set;
-    * the bloom filter over it is maintained incrementally: built once with
-      capacity headroom, then each generation ORs in the delta's bitmap;
-      rebuilt (with 4x capacity) only if the set outgrows it;
+    * the bloom filter over it is maintained incrementally.  Global mode
+      (bloom_shards=0): built once with capacity headroom and broadcast
+      ONCE; per-generation novel keys accumulate in a small exact
+      `recent` side table (checked by broadcast anti-join) and are OR-ed
+      into the bitmap + re-broadcast only when they exceed
+      cfg.bloom_rebroadcast_keys — broadcast serialization is amortized,
+      superseded broadcasts unpersisted.  Sharded mode (bloom_shards>0):
+      the (shard, bitmap) table is merged with the delta's shard bitmaps
+      each generation, all distributed, driver memory O(1) in keys;
+    * rebuilt (with 4x capacity) only if the set outgrows the filter;
     * the seen-set cardinality that gates/params the bloom is a running
-      total from per-generation novel counts — no seen.count() jobs."""
+      total from per-generation novel counts — no seen.count() jobs;
+    * per-generation metric counts are observe() metrics on frames the
+      step materializes anyway — no dedicated count() jobs."""
     import numpy as np
 
-    from .seen import build_bloom
+    from .seen import ShardedBloom, build_bloom, build_sharded_bloom, \
+        merge_sharded_blooms
 
     start_gen = 0
     all_metrics: list[dict] = []
@@ -339,27 +378,45 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         seen = frontier.select("urlkey")
     seen_parts = [seen]
 
+    sc = spark.sparkContext
+    use_sharded = cfg.bloom_shards > 0
     seen_count = seen.count() if cfg.use_bloom else 0
-    bloom_bits: "np.ndarray | None" = None
+    bloom = None                    # (Broadcast, m, k) | ShardedBloom
+    bloom_bits: "np.ndarray | None" = None   # driver copy, global mode
+    bloom_bc = None                 # live broadcast handle, global mode
     bloom_mk: tuple[int, int] | None = None
     bloom_cap = 0
+    recent_parts: list[DataFrame] = []   # novel keys not yet in the filter
+    pending_novel = 0
 
     cdx_parts = []
     for gen in range(start_gen, generations):
         if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
-                bloom_bits is None or seen_count > bloom_cap):
+                bloom is None or seen_count > bloom_cap):
             # (re)build over the full set with headroom so later generations
-            # only OR in their deltas
+            # only fold in their deltas
             bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
-            b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
-                                  fpp=cfg.bloom_fpp)
-            bloom_bits = np.frombuffer(b, dtype=np.uint64).copy()
-            bloom_mk = (m, k)
-        bloom = ((bloom_bits.tobytes(), *bloom_mk)
-                 if bloom_bits is not None else None)
+            if use_sharded:
+                sb = build_sharded_bloom(seen, "urlkey", cfg.bloom_shards,
+                                         capacity=bloom_cap,
+                                         fpp=cfg.bloom_fpp)
+                bloom = ShardedBloom(sb.df.localCheckpoint(eager=True),
+                                     sb.n_shards, sb.m, sb.k)
+            else:
+                b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
+                                      fpp=cfg.bloom_fpp)
+                bloom_bits = np.frombuffer(b, dtype=np.uint64).copy()
+                bloom_mk = (m, k)
+                if bloom_bc is not None:
+                    bloom_bc.unpersist()
+                bloom_bc = sc.broadcast(bloom_bits.tobytes())
+                bloom = (bloom_bc, m, k)
+            recent_parts, pending_novel = [], 0
 
+        recent = _union_all(recent_parts) if recent_parts else None
         frontier, new_seen, cdx, metrics = crawl_step(
-            pages, frontier, seen, robots, cfg, gen, bloom=bloom)
+            pages, frontier, seen, robots, cfg, gen, bloom=bloom,
+            recent=recent)
         if emitted_keys is not None:
             cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
                            "urlkey", "left_anti")
@@ -375,14 +432,29 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # anti-join) through window shuffles — materialize it once
         frontier = frontier.localCheckpoint(eager=True)
         if cfg.use_bloom:
-            novel = metrics.get("novel")
-            if novel is None:
-                novel = new_seen.count()
+            novel = metrics["novel"]
             seen_count += novel
-            if bloom_bits is not None and novel:
-                m, k = bloom_mk
-                b, _, _ = build_bloom(new_seen, "urlkey", m=m, k=k)
-                bloom_bits |= np.frombuffer(b, dtype=np.uint64)
+            if bloom is not None and novel:
+                if use_sharded:
+                    delta = build_sharded_bloom(
+                        new_seen, "urlkey", cfg.bloom_shards, capacity=1,
+                        m=bloom.m, k=bloom.k)
+                    merged = merge_sharded_blooms(bloom, delta)
+                    bloom = ShardedBloom(
+                        merged.df.localCheckpoint(eager=True),
+                        merged.n_shards, merged.m, merged.k)
+                else:
+                    recent_parts.append(new_seen)
+                    pending_novel += novel
+                    if pending_novel >= cfg.bloom_rebroadcast_keys:
+                        m, k = bloom_mk
+                        b, _, _ = build_bloom(_union_all(recent_parts),
+                                              "urlkey", m=m, k=k)
+                        bloom_bits |= np.frombuffer(b, dtype=np.uint64)
+                        bloom_bc.unpersist()
+                        bloom_bc = sc.broadcast(bloom_bits.tobytes())
+                        bloom = (bloom_bc, m, k)
+                        recent_parts, pending_novel = [], 0
         cdx_parts.append(cdx)
         all_metrics.append(metrics)
         if checkpoint_dir:

@@ -9,27 +9,37 @@ Design for 10^10 keys (north_rule):
   bloom hit still goes through the exact join; a bloom miss is definitely
   novel and can skip it).
 
-Two bloom deployments:
+Three bloom deployments:
   1. Spark's built-in runtime bloom-filter join
      (``spark.sql.optimizer.runtime.bloomFilter.enabled`` — on in
      session.py's frontier profile) — zero code, optimizer-injected.
-  2. The explicit filter below: built distributedly (per-partition numpy
-     bitmaps OR-reduced), broadcast to executors, checked in an Arrow UDF.
-     Size: n·ln(1/fpp)/ln²2 bits — 12 MB per 10^7 keys at 1% fpp, so a
-     10^10-key crawl shards it per hash-partition (each partition's bloom
-     covers only its shard; candidates are repartitioned the same way and
-     consult only their shard's filter).
+  2. The explicit GLOBAL filter below: built distributedly (per-partition
+     numpy bitmaps OR-reduced), broadcast to executors, checked in an
+     Arrow UDF.  Size: n·ln(1/fpp)/ln²2 bits — 12 MB per 10^7 keys at 1%
+     fpp; fine up to ~10^8 keys, after which the driver reduce and the
+     broadcast both balloon.
+  3. The SHARDED filter (:class:`ShardedBloom`): the key space is split
+     into ``n_shards`` by key-hash; each shard's bitmap lives in a ROW of
+     a distributed (shard, bitmap) DataFrame — built with
+     ``applyInPandas`` per shard, consulted by co-grouping candidates
+     with their shard's bitmap, merged/OR-ed shard-wise.  The driver
+     never holds ANY bitmap: its memory is O(1) in the key count, so a
+     10^10-key seen set (~12 GB of bitmap at 1% fpp) costs each executor
+     task one shard (~12 GB / n_shards) and the driver nothing.
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-__all__ = ["bloom_params", "build_bloom", "bloom_prefilter", "anti_join_seen"]
+__all__ = ["bloom_params", "build_bloom", "bloom_prefilter", "anti_join_seen",
+           "ShardedBloom", "build_sharded_bloom", "merge_sharded_blooms",
+           "sharded_bloom_prefilter"]
 
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -77,12 +87,19 @@ def build_bloom(df: DataFrame, key: str, capacity: int = 0,
     return acc.tobytes(), m, k
 
 
-def bloom_prefilter(candidates: DataFrame, key: str, bitmap: bytes,
+def bloom_prefilter(candidates: DataFrame, key: str, bitmap,
                     m: int, k: int) -> DataFrame:
     """Adds ``maybe_seen``: False ⇒ definitely novel (skip the exact join),
-    True ⇒ must be resolved by the exact anti-join."""
+    True ⇒ must be resolved by the exact anti-join.
+
+    ``bitmap`` may be raw bytes (broadcast here, once per call) or an
+    already-broadcast handle — long crawls pass the handle so the bitmap
+    is serialized to executors once per (re)build, not once per
+    generation."""
+    from pyspark.broadcast import Broadcast
     spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap)
+    bc = (bitmap if isinstance(bitmap, Broadcast)
+          else spark.sparkContext.broadcast(bitmap))
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
@@ -103,14 +120,140 @@ def bloom_prefilter(candidates: DataFrame, key: str, bitmap: bytes,
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
-                   bloom: tuple[bytes, int, int] | None = None) -> DataFrame:
-    """candidates − seen.  With a bloom sidecar, only the maybe-seen slice
-    pays the join shuffle; the definite-novel slice is unioned back."""
+                   bloom=None, recent: DataFrame | None = None) -> DataFrame:
+    """candidates − seen.  With a bloom sidecar (a ``(bitmap, m, k)``
+    tuple or a :class:`ShardedBloom`), only the maybe-seen slice pays the
+    join shuffle; the definite-novel slice is unioned back.
+
+    ``recent``: keys seen since the bloom was last (re)built/broadcast.
+    The bloom-miss slice must still be checked against them (a bloom miss
+    only proves absence from what the FILTER covers); ``recent`` is small
+    by construction (bounded by the rebroadcast threshold) so this is a
+    broadcast anti-join, not a shuffle."""
     if bloom is None:
         return candidates.join(seen.select(key), key, "left_anti")
-    bitmap, m, k = bloom
-    flagged = bloom_prefilter(candidates, key, bitmap, m, k)
+    if isinstance(bloom, ShardedBloom):
+        flagged = sharded_bloom_prefilter(candidates, key, bloom)
+    else:
+        bitmap, m, k = bloom
+        flagged = bloom_prefilter(candidates, key, bitmap, m, k)
     novel = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    if recent is not None:
+        novel = novel.join(F.broadcast(recent.select(key)), key, "left_anti")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     resolved = maybe.join(seen.select(key), key, "left_anti")
     return novel.unionByName(resolved)
+
+
+# ----------------------------------------------------------- sharded ----
+
+@dataclass
+class ShardedBloom:
+    """Distributed bloom: one bitmap row per key-hash shard.  ``df`` has
+    schema (shard int, bitmap binary); geometry (m, k) is per shard."""
+    df: DataFrame
+    n_shards: int
+    m: int
+    k: int
+
+
+def _shard_col(key: str, n_shards: int):
+    return F.pmod(F.xxhash64(F.col(key), F.lit(0)), F.lit(n_shards)).cast("int")
+
+
+def _hash_cols(key: str):
+    return (F.xxhash64(F.col(key), F.lit(1)).alias("_h1"),
+            F.xxhash64(F.col(key), F.lit(2)).bitwiseOR(F.lit(1)).alias("_h2"))
+
+
+def _set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+              m: int, k: int) -> None:
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def build_sharded_bloom(df: DataFrame, key: str, n_shards: int,
+                        capacity: int, fpp: float = 0.01,
+                        m: int | None = None, k: int | None = None
+                        ) -> ShardedBloom:
+    """Build the (shard, bitmap) table with ``applyInPandas`` per shard.
+    ``capacity`` is TOTAL keys; each shard is sized for capacity/n_shards.
+    Nothing is collected: driver memory is O(1) in the key count.
+
+    Pass explicit ``m``/``k`` to build a geometry-compatible DELTA table
+    for :func:`merge_sharded_blooms` (incremental maintenance)."""
+    if m is None or k is None:
+        m, k = bloom_params(max(capacity // n_shards, 1024), fpp)
+    n_words = m // 64
+    hashed = df.select(_shard_col(key, n_shards).alias("shard"),
+                       *_hash_cols(key))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        _set_bits(bits, pdf["_h1"].to_numpy(dtype=np.uint64),
+                  pdf["_h2"].to_numpy(dtype=np.uint64), m, k)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "bitmap": [bits.tobytes()]})
+
+    bdf = hashed.groupBy("shard").applyInPandas(
+        build, "shard int, bitmap binary")
+    return ShardedBloom(bdf, n_shards, m, k)
+
+
+def merge_sharded_blooms(a: ShardedBloom, b: ShardedBloom) -> ShardedBloom:
+    """OR two geometry-compatible sharded blooms shard-wise (the
+    incremental-maintenance step: a = covering filter, b = delta)."""
+    assert (a.n_shards, a.m, a.k) == (b.n_shards, b.m, b.k), \
+        "incompatible bloom geometries"
+    n_words = a.m // 64
+
+    def orfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for blob in pdf["bitmap"]:
+            acc |= np.frombuffer(bytes(blob), dtype=np.uint64)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "bitmap": [acc.tobytes()]})
+
+    merged = (a.df.unionByName(b.df).groupBy("shard")
+              .applyInPandas(orfn, "shard int, bitmap binary"))
+    return ShardedBloom(merged, a.n_shards, a.m, a.k)
+
+
+def sharded_bloom_prefilter(candidates: DataFrame, key: str,
+                            bloom: ShardedBloom) -> DataFrame:
+    """Adds ``maybe_seen`` by co-grouping candidates with their shard's
+    bitmap: candidates are hash-partitioned on shard (the same shuffle the
+    exact anti-join would pay anyway, but carrying only candidate rows),
+    and each task reads exactly one shard bitmap.  A shard with no bitmap
+    row holds no seen keys, so its candidates are definitely novel."""
+    m, k = bloom.m, bloom.k
+    cand = candidates.select(
+        "*", _shard_col(key, bloom.n_shards).alias("_shard"),
+        *_hash_cols(key))
+    out_fields = [f"`{c}` {t}" for c, t in candidates.dtypes]
+    out_schema = ", ".join(out_fields + ["maybe_seen boolean"])
+    out_cols = [c for c, _ in candidates.dtypes]
+
+    def check(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        out = cpdf[out_cols].copy()
+        if bpdf.empty:
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(bytes(bpdf["bitmap"].iloc[0]), dtype=np.uint64)
+        h1 = cpdf["_h1"].to_numpy(dtype=np.uint64)
+        h2 = cpdf["_h2"].to_numpy(dtype=np.uint64)
+        res = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            res &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        out["maybe_seen"] = res
+        return out
+
+    return (cand.groupBy("_shard")
+            .cogroup(bloom.df.groupBy("shard"))
+            .applyInPandas(check, out_schema))

@@ -60,9 +60,10 @@ def make_cdx_lines(records: list[Record], warc_path: str, *,
     return header, lines, stats
 
 
-def make_cdx_for_file(path: str, warc_path: str | None = None, **kw):
+def make_cdx_for_file(path: str, warc_path: str | None = None,
+                      strict: bool = False, **kw):
     import os
     if warc_path is None:
         warc_path = os.path.basename(path)
-    records = read_archive(path, filename=warc_path)
+    records = read_archive(path, filename=warc_path, strict=strict)
     return make_cdx_lines(records, warc_path, **kw)

@@ -32,8 +32,15 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
-__all__ = ["Record", "read_archive", "parse_archive_bytes",
+__all__ = ["Record", "ParseError", "read_archive", "parse_archive_bytes",
            "stream_archive_records"]
+
+
+class ParseError(Exception):
+    """Strict-mode parse failure.  The reference aborts the whole run on
+    record-level parse errors (cdx_writer.py:30-31,702-705: ``elif errors:
+    raise ParseError``); lenient mode (the default here) skips malformed
+    tails/members instead — pass ``strict=True`` for reference parity."""
 
 _IP_RE = re.compile(rb"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
 _DIGITS_RE = re.compile(rb"^-?\d+$")
@@ -58,7 +65,7 @@ class Record:
         return self.headers.get(name.lower())
 
 
-def _gzip_members(data: bytes):
+def _gzip_members(data: bytes, strict: bool = False):
     """Split a multi-member gzip blob into (offset, compressed_size, bytes)."""
     pos, n = 0, len(data)
     while pos < n:
@@ -69,6 +76,8 @@ def _gzip_members(data: bytes):
         tail = d.flush()
         if tail:
             chunk += tail
+        if strict and not d.eof:
+            raise ParseError("truncated gzip member at offset %d" % pos)
         consumed = (n - pos) - len(d.unused_data)
         yield pos, consumed, chunk
         pos += consumed
@@ -114,7 +123,7 @@ def _parse_arc_header_line(line: bytes):
     return url, date.decode("latin-1"), (ctype if ctype else None), length
 
 
-def _parse_arc_stream(chunks, filename: str):
+def _parse_arc_stream(chunks, filename: str, strict: bool = False):
     """``chunks``: iterable of (offset, compressed_size|None, bytes).  For
     uncompressed input pass a single (0, None, data) chunk."""
     chunks = list(chunks)
@@ -163,6 +172,10 @@ def _parse_arc_stream(chunks, filename: str):
             while len(data) < body_start + want and ci + 1 < len(chunks):
                 ci += 1
                 data += chunks[ci][2]
+            if strict and len(data) < body_start + want:
+                raise ParseError(
+                    "truncated ARC record at offset %d: declared %d, got %d"
+                    % (chunks[start_ci][0], want, len(data) - body_start))
             payload = data[body_start: body_start + want]
             offset = chunks[start_ci][0]
             csize = sum(chunks[i][1] for i in range(start_ci, ci + 1))
@@ -184,6 +197,10 @@ def _parse_arc_stream(chunks, filename: str):
             want = max(length, 0)
             body_start = nl + 1
             payload = data[body_start: body_start + want]
+            if strict and len(payload) < want:
+                raise ParseError(
+                    "truncated ARC record at offset %d: declared %d, got %d"
+                    % (pos, want, len(payload)))
             size = (body_start - pos) + want
             emit(url, date, ctype, length, payload, pos, size)
             pos = body_start + want
@@ -240,7 +257,7 @@ def _warc_record_from(headers, payload, filename, idx, offset, csize):
     )
 
 
-def _parse_warc_stream(chunks, filename: str):
+def _parse_warc_stream(chunks, filename: str, strict: bool = False):
     chunks = list(chunks)
     records = []
     idx = 0
@@ -259,8 +276,14 @@ def _parse_warc_stream(chunks, filename: str):
                 data += chunks[ci][2]
                 parsed = _parse_warc_block(data, 0)
             if parsed is None:
+                if strict:
+                    raise ParseError("unparseable WARC member at offset %d"
+                                     % chunks[start_ci][0])
                 ci += 1
                 continue
+            if strict and len(data) < parsed[2]:
+                raise ParseError("truncated WARC record at offset %d"
+                                 % chunks[start_ci][0])
             headers, payload, _eop, _nxt = parsed
             offset = chunks[start_ci][0]
             csize = sum(chunks[i][1] for i in range(start_ci, ci + 1))
@@ -274,6 +297,9 @@ def _parse_warc_stream(chunks, filename: str):
         while pos < len(data):
             parsed = _parse_warc_block(data, pos)
             if parsed is None:
+                if strict and data[pos:].strip(b"\r\n"):
+                    raise ParseError("unparseable WARC data at offset %d"
+                                     % pos)
                 break
             headers, payload, end_of_payload, nxt = parsed
             records.append(_warc_record_from(headers, payload, filename, idx,
@@ -309,7 +335,8 @@ class _HeadReader:
         return self._f.read(n)
 
 
-def _gzip_members_from(reader, chunk_size: int = 1 << 20):
+def _gzip_members_from(reader, chunk_size: int = 1 << 20,
+                       strict: bool = False):
     """Incrementally split a gzip stream into (offset, csize, plain_bytes)
     members.  Buffers at most one chunk + one decompressed member."""
     buf = reader.read(chunk_size)
@@ -339,6 +366,9 @@ def _gzip_members_from(reader, chunk_size: int = 1 << 20):
             file_pos += len(buf)
             buf = reader.read(chunk_size)
             if not buf:
+                if strict:
+                    raise ParseError("truncated gzip member at offset %d"
+                                     % member_start)
                 tail = d.flush()
                 if tail:
                     out.append(tail)
@@ -347,7 +377,7 @@ def _gzip_members_from(reader, chunk_size: int = 1 << 20):
                 return
 
 
-def _iter_warc_compressed(members, filename: str):
+def _iter_warc_compressed(members, filename: str, strict: bool = False):
     """Streaming twin of the compressed branch of _parse_warc_stream."""
     idx = 0
     cur = None  # [start_offset, csize_sum, data]
@@ -367,14 +397,18 @@ def _iter_warc_compressed(members, filename: str):
         idx += 1
         cur = None
         parsed = None
-    if cur is not None and parsed is not None:
-        # truncated trailing record — the batch parser emits it too
-        headers, payload, _eop, _nxt = parsed
-        yield _warc_record_from(headers, payload, filename, idx,
-                                cur[0], cur[1])
+    if cur is not None:
+        if strict:
+            raise ParseError("unparseable/truncated WARC member at offset %d"
+                             % cur[0])
+        if parsed is not None:
+            # truncated trailing record — the batch parser emits it too
+            headers, payload, _eop, _nxt = parsed
+            yield _warc_record_from(headers, payload, filename, idx,
+                                    cur[0], cur[1])
 
 
-def _iter_arc_compressed(members, filename: str):
+def _iter_arc_compressed(members, filename: str, strict: bool = False):
     """Streaming twin of the compressed branch of _parse_arc_stream."""
     idx = 0
     cur = None  # [start_offset, csize_sum, data, url, date, ctype, length]
@@ -416,12 +450,17 @@ def _iter_arc_compressed(members, filename: str):
     if cur is not None:
         _off, _cs, data, url, date, ctype, length, body_start = cur
         want = max(length, 0)
+        if strict and len(data) < body_start + want:
+            raise ParseError(
+                "truncated ARC record at offset %d: declared %d, got %d"
+                % (cur[0], want, len(data) - body_start))
         yield build(url, date, ctype, length,
                     data[body_start: body_start + want],
                     cur[0], cur[1], idx)
 
 
-def _iter_warc_raw(reader, filename: str, chunk_size: int = 1 << 20):
+def _iter_warc_raw(reader, filename: str, chunk_size: int = 1 << 20,
+                   strict: bool = False):
     """Streaming twin of the uncompressed branch of _parse_warc_stream:
     rolling buffer holding at most one record + one read chunk.  The batch
     parser consumes inter-record newline runs via ``nxt``; here separator
@@ -456,6 +495,8 @@ def _iter_warc_raw(reader, filename: str, chunk_size: int = 1 << 20):
             eof = True
             parsed = _parse_warc_block(buf, 0) if buf else None
         if parsed is None:
+            if strict and buf.strip(b"\r\n"):
+                raise ParseError("unparseable WARC data at offset %d" % base)
             return  # batch parser breaks on unparseable position too
         headers, payload, end_of_payload, nxt = parsed
         yield _warc_record_from(headers, payload, filename, idx, base,
@@ -467,7 +508,8 @@ def _iter_warc_raw(reader, filename: str, chunk_size: int = 1 << 20):
             return
 
 
-def _iter_arc_raw(reader, filename: str, chunk_size: int = 1 << 20):
+def _iter_arc_raw(reader, filename: str, chunk_size: int = 1 << 20,
+                  strict: bool = False):
     """Streaming twin of the uncompressed branch of _parse_arc_stream."""
     buf = b""
     base = 0
@@ -503,6 +545,10 @@ def _iter_arc_raw(reader, filename: str, chunk_size: int = 1 << 20):
             else:
                 eof = True
         payload = buf[body_start: body_start + want]
+        if strict and len(payload) < want:
+            raise ParseError(
+                "truncated ARC record at offset %d: declared %d, got %d"
+                % (base, want, len(payload)))
         rtype = "filedesc" if url.startswith(b"filedesc:") else "response"
         if ctype is not None:
             ctype = ctype.split(b";")[0].strip() or None
@@ -521,7 +567,8 @@ def _iter_arc_raw(reader, filename: str, chunk_size: int = 1 << 20):
             return
 
 
-def stream_archive_records(f, filename: str, chunk_size: int = 1 << 20):
+def stream_archive_records(f, filename: str, chunk_size: int = 1 << 20,
+                           strict: bool = False):
     """Yield Records from an open binary file object with O(record) memory
     (gzip auto-detected, WARC/ARC auto-sniffed — same observable behavior
     as :func:`parse_archive_bytes`, which materializes the whole file).
@@ -529,13 +576,16 @@ def stream_archive_records(f, filename: str, chunk_size: int = 1 << 20):
     This is the kernel behind the path-distributing Spark source for
     multi-GB archives (sources/warc.py): the 2 GiB Arrow single-cell limit
     and O(file) executor memory of ``binaryFile`` never apply because file
-    bytes stay on the executor-local read path."""
+    bytes stay on the executor-local read path.
+
+    ``strict=True`` raises :class:`ParseError` on malformed/truncated
+    input instead of skipping it (reference cdx_writer.py:702-705)."""
     head = f.read(chunk_size)
     if not head:
         return iter(())
     reader = _HeadReader(head, f)
     if head[:2] == _GZIP_MAGIC:
-        members = _gzip_members_from(reader, chunk_size)
+        members = _gzip_members_from(reader, chunk_size, strict=strict)
         try:
             first = next(members)
         except StopIteration:
@@ -543,34 +593,37 @@ def stream_archive_records(f, filename: str, chunk_size: int = 1 << 20):
         import itertools
         rest = itertools.chain([first], members)
         if first[2][:64].startswith(b"WARC/"):
-            return _iter_warc_compressed(rest, filename)
-        return _iter_arc_compressed(rest, filename)
+            return _iter_warc_compressed(rest, filename, strict=strict)
+        return _iter_arc_compressed(rest, filename, strict=strict)
     if head[:64].startswith(b"WARC/"):
-        return _iter_warc_raw(reader, filename, chunk_size)
-    return _iter_arc_raw(reader, filename, chunk_size)
+        return _iter_warc_raw(reader, filename, chunk_size, strict=strict)
+    return _iter_arc_raw(reader, filename, chunk_size, strict=strict)
 
 
 # ---------------------------------------------------------------- API ----
 
-def parse_archive_bytes(data: bytes, filename: str) -> list[Record]:
+def parse_archive_bytes(data: bytes, filename: str,
+                        strict: bool = False) -> list[Record]:
     """Parse a whole WARC/ARC file given as bytes (gzip auto-detected —
     mirrors the reference's ``open_archive(..., gzip='auto')``,
-    cdx_writer.py:654).  This is the kernel the Spark source wraps in
-    ``mapInPandas`` over ``binaryFile`` rows."""
+    cdx_writer.py:654).  ``strict=True`` raises :class:`ParseError` on
+    malformed/truncated input (reference parity; default is lenient
+    skip)."""
     if data[:2] == _GZIP_MAGIC:
-        chunks = list(_gzip_members(data))
+        chunks = list(_gzip_members(data, strict=strict))
         head = chunks[0][2][:64] if chunks else b""
     else:
         chunks = [(0, None, data)]
         head = data[:64]
     if head.startswith(b"WARC/"):
-        return _parse_warc_stream(chunks, filename)
-    return _parse_arc_stream(chunks, filename)
+        return _parse_warc_stream(chunks, filename, strict=strict)
+    return _parse_arc_stream(chunks, filename, strict=strict)
 
 
-def read_archive(path: str, filename: str | None = None) -> list[Record]:
+def read_archive(path: str, filename: str | None = None,
+                 strict: bool = False) -> list[Record]:
     with open(path, "rb") as f:
         data = f.read()
     if filename is None:
         filename = path
-    return parse_archive_bytes(data, filename)
+    return parse_archive_bytes(data, filename, strict=strict)

@@ -103,12 +103,15 @@ def _open_stream(p: str):
 
 
 def read_warc_records(spark: SparkSession, path: str | list[str],
-                      use_full_path: bool = False) -> DataFrame:
+                      use_full_path: bool = False,
+                      strict: bool = False) -> DataFrame:
     """Scan archive file(s) into the warc_records envelope, streaming each
     file from executor-local reads in bounded Arrow batches.
 
     ``use_full_path`` mirrors the reference's --use-full-path: keep the whole
-    path in ``filename`` instead of the basename (cdx_writer.py:75-80)."""
+    path in ``filename`` instead of the basename (cdx_writer.py:75-80).
+    ``strict`` mirrors the reference's hard ParseError on malformed input
+    (cdx_writer.py:702-705): the task fails instead of skipping."""
     files = _expand_paths(path)
     if not files:
         return spark.createDataFrame([], WARC_RECORDS_SCHEMA)
@@ -129,7 +132,8 @@ def read_warc_records(spark: SparkSession, path: str | list[str],
                 rows: list[dict] = []
                 nbytes = 0
                 with _open_stream(p) as f:
-                    for rec in stream_archive_records(f, name):
+                    for rec in stream_archive_records(f, name,
+                                                      strict=strict):
                         rows.extend(records_to_rows([rec]))
                         nbytes += len(rec.payload or b"")
                         if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:

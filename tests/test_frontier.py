@@ -116,3 +116,94 @@ def test_distributed_top_k_exact(spark):
     e = sorted(tuple(r) for r in expect.collect())
     assert len(g) == 12345
     assert g == e
+
+
+def test_sharded_bloom_matches_exact_at_1m_keys(spark):
+    """Sharded (shard, bitmap)-table bloom: parity with the exact anti-join
+    at 10^6 keys.  Driver never holds a bitmap — its memory is O(1) in the
+    key count (the global-bloom design collected ~1.2 MB/10^6 keys and
+    would collect ~12 GB at 10^10)."""
+    from cdx_writer_spark.frontier.seen import build_sharded_bloom
+    seen = spark.range(1_000_000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    cand = spark.range(500_000, 1_500_000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"),
+        (F.col("id") % 7).alias("prio"))
+    sb = build_sharded_bloom(seen, "urlkey", n_shards=64, capacity=2_000_000)
+    exact = anti_join_seen(cand, seen, "urlkey")
+    with_bloom = anti_join_seen(cand, seen, "urlkey", bloom=sb)
+    assert with_bloom.count() == 500_000
+    assert exact.select("urlkey").exceptAll(
+        with_bloom.select("urlkey")).count() == 0
+    assert with_bloom.select("urlkey").exceptAll(
+        exact.select("urlkey")).count() == 0
+
+
+def test_sharded_bloom_merge_covers_delta(spark):
+    from cdx_writer_spark.frontier.seen import (build_sharded_bloom,
+                                                merge_sharded_blooms,
+                                                sharded_bloom_prefilter)
+    a = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    b = spark.range(5000, 10000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    sb = build_sharded_bloom(a, "urlkey", n_shards=8, capacity=40_000)
+    delta = build_sharded_bloom(b, "urlkey", n_shards=8, capacity=1,
+                                m=sb.m, k=sb.k)
+    merged = merge_sharded_blooms(sb, delta)
+    # every key of both halves must be maybe_seen (no false negatives)
+    flagged = sharded_bloom_prefilter(a.unionByName(b), "urlkey", merged)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["sharded", "global_amortized"])
+def test_crawl_with_bloom_equals_exact(spark, world, mode):
+    """The crawl must produce identical seen/cdx with any bloom deployment:
+    the filter is an optimization, never a semantics change.  The
+    global_amortized case forces the stale-broadcast window (rebroadcast
+    threshold never reached), exercising the `recent` exact side table."""
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+    cfg_exact = CrawlConfig(use_bloom=False, **base)
+    if mode == "sharded":
+        cfg_bloom = CrawlConfig(use_bloom=True, bloom_min_keys=1,
+                                bloom_shards=8, **base)
+    else:
+        cfg_bloom = CrawlConfig(use_bloom=True, bloom_min_keys=1,
+                                bloom_rebroadcast_keys=10**9, **base)
+
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"])
+                       for r in cdx.collect()))
+    e = run(cfg_exact)
+    b = run(cfg_bloom)
+    assert e[0] == b[0], f"seen-set differs under {mode} bloom"
+    assert e[1] == b[1], f"cdx differs under {mode} bloom"
+
+
+def test_legacy_checkpoint_full_snapshot_load(spark, tmp_path):
+    """Checkpoints from the pre-delta format (manifest without
+    seen_format) stored the FULL seen set each generation; load_state must
+    read only the latest snapshot, not union them into duplicates."""
+    import json as jsonmod
+    import os
+    from cdx_writer_spark.frontier.crawl import load_state
+    root = str(tmp_path / "legacy")
+    full = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    for gen in (0, 1):
+        d = os.path.join(root, f"gen={gen:05d}")
+        full.limit(50 * (gen + 1)).write.parquet(os.path.join(d, "seen"))
+        full.limit(10).selectExpr("urlkey", "urlkey AS url",
+                                  "'h' AS host", "1.0 AS priority",
+                                  f"{gen} AS generation") \
+            .write.parquet(os.path.join(d, "frontier"))
+        spark.createDataFrame([("k0", gen)], ["urlkey", "generation"]) \
+            .write.parquet(os.path.join(d, "cdx"))
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            jsonmod.dump({"complete": True, "generation": gen}, f)
+    gen, _fr, seen, _m = load_state(spark, root)
+    assert gen == 1
+    assert seen.count() == 100, "legacy snapshots must not be unioned"

@@ -157,3 +157,46 @@ def test_gzip_fixture_via_spark_source_matches_kernel(spark):
     for row, k in zip(rows, kernel):
         assert (row["record_idx"], row["offset"],
                 row["compressed_size"]) == k[:3]
+
+
+# ------------------------------------------------------- strict mode ----
+
+def test_strict_mode_raises_on_truncated_gzip():
+    from cdx_writer_spark.kernels.warcrec import ParseError
+    member = _warc_member(_det_bytes(4096), "http://ex.com/a", level=6)
+    data = member + member[: len(member) // 2]
+    # lenient: parses what it can
+    lenient = list(stream_archive_records(io.BytesIO(data), "x"))
+    assert len(lenient) >= 1
+    assert parse_archive_bytes(data, "x")  # batch lenient too
+    with pytest.raises(ParseError):
+        list(stream_archive_records(io.BytesIO(data), "x", strict=True))
+    with pytest.raises(ParseError):
+        parse_archive_bytes(data, "x", strict=True)
+
+
+def test_strict_mode_raises_on_junk_tail():
+    from cdx_writer_spark.kernels.warcrec import ParseError
+    rec = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+           b"WARC-Target-URI: http://ex.com/\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: 10\r\n\r\n" + b"0123456789" + b"\r\n\r\n")
+    data = rec + b"NOT A WARC RECORD AT ALL"
+    assert len(parse_archive_bytes(data, "x")) == 1  # lenient skips tail
+    assert len(list(stream_archive_records(io.BytesIO(data), "x"))) == 1
+    with pytest.raises(ParseError):
+        parse_archive_bytes(data, "x", strict=True)
+    with pytest.raises(ParseError):
+        list(stream_archive_records(io.BytesIO(data), "x", strict=True))
+
+
+def test_strict_mode_accepts_all_reference_fixtures():
+    """Every reference fixture is structurally well-formed: strict parsing
+    must yield exactly the lenient records."""
+    for path in FIXTURES:
+        with open(path, "rb") as f:
+            data = f.read()
+        lenient = [_key(r) for r in parse_archive_bytes(data, "x")]
+        strict = [_key(r) for r in parse_archive_bytes(data, "x",
+                                                       strict=True)]
+        assert strict == lenient, path
