@@ -298,6 +298,39 @@ FROM raws
 """
 
 
+def banlist_prefix_dedup(spark, sf):
+    """A2 (reference tests/clean_the_banlist.py:138-146): drop every url
+    that has a shorter url in the set as a prefix.  Input: synthetic
+    banlist from documents — every 10th doc also contributes its bare
+    host+path prefix, which subsumes the longer per-doc urls."""
+    from ..operators.banlist import prefix_free
+    d = _t(spark, sf, "documents")
+    long_urls = d.select(
+        F.concat(F.lit("http://www."), F.col("source"),
+                 F.lit(".com/docs/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    short_urls = (d.filter(F.col("doc_id") % 10 == 0)
+                  .select(F.concat(F.lit("http://www."), F.col("source"),
+                                   F.lit(".com/docs/")).alias("url")))
+    urls = long_urls.unionByName(short_urls)
+    return prefix_free(urls).orderBy("url")
+
+
+ORACLE_BANLIST = """
+WITH urls AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'http://www.' || source || '.com/docs/' || doc_id AS url
+    FROM documents
+    UNION ALL
+    SELECT 'http://www.' || source || '.com/docs/' AS url
+    FROM documents WHERE doc_id % 10 = 0))
+SELECT url FROM urls u
+WHERE NOT EXISTS (SELECT 1 FROM urls p
+                  WHERE p.url <> u.url AND starts_with(u.url, p.url))
+ORDER BY url
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup family (documents)
 # --------------------------------------------------------------------------
@@ -685,6 +718,7 @@ QUERIES = {
     "seen_anti_join": seen_anti_join,
     "union_dedup": union_dedup,
     "date_normalize": date_normalize,
+    "banlist_prefix_dedup": banlist_prefix_dedup,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -709,6 +743,7 @@ ORACLES = {
     "seen_anti_join": ORACLE_SEEN_ANTI,
     "union_dedup": ORACLE_UNION_DEDUP,
     "date_normalize": ORACLE_DATE_NORMALIZE,
+    "banlist_prefix_dedup": ORACLE_BANLIST,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_ngram_jaccard": ORACLE_JACCARD,

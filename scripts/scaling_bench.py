@@ -182,6 +182,15 @@ def main():
     lo_med = statistics.median(r["rows_per_sec"] for r in lo_runs)
     hi_med = statistics.median(r["rows_per_sec"] for r in hi_runs)
     idx_eff = statistics.median(pair_effs)
+
+    # steal stratification: a pair is CLEAN when hypervisor steal in BOTH
+    # sides' best windows stayed under 2% of host CPU time (/proc/stat is
+    # host-wide: 32 cpus x 100 jiffies/sec)
+    def _steal_frac(r):
+        return r["steal_jif"] / max(3200.0 * r["wall"], 1.0)
+    clean_effs = [e for e, a, b in zip(pair_effs, lo_runs, hi_runs)
+                  if _steal_frac(a) < 0.02 and _steal_frac(b) < 0.02]
+    clean_eff = round(statistics.median(clean_effs), 3) if clean_effs else None
     crawl_eff = (crawl_hi["urls_per_sec"] / ratio) / crawl_lo["urls_per_sec"]
     result = {
         "n_records": n_records, "n_pages": n_pages, "generations": gens,
@@ -190,6 +199,11 @@ def main():
         "index_rows_per_sec_hi": hi_med,
         "index_pair_efficiencies": [round(e, 3) for e in pair_effs],
         "index_scaling_efficiency": round(idx_eff, 3),
+        "index_clean_pair_efficiencies": [round(e, 3) for e in clean_effs],
+        "index_clean_pair_efficiency": clean_eff,
+        "index_pair_steal_fracs": [
+            [round(_steal_frac(a), 4), round(_steal_frac(b), 4)]
+            for a, b in zip(lo_runs, hi_runs)],
         "index_normalized_efficiency": round(idx_eff / hw_eff, 3),
         "crawl_urls_per_sec_lo": crawl_lo["urls_per_sec"],
         "crawl_urls_per_sec_hi": crawl_hi["urls_per_sec"],
@@ -200,6 +214,7 @@ def main():
         "runs_lo": lo_runs, "runs_hi": hi_runs,
         "target": 0.8,
         "pass": idx_eff >= 0.8,
+        "pass_clean": clean_eff is not None and clean_eff >= 0.8,
     }
     mult = hi // lo
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
@@ -245,6 +260,14 @@ Per-pair efficiencies: {[round(e, 3) for e in pair_effs]}
 {result['index_scaling_efficiency']}** (target >= 0.8:
 {'PASS' if result['pass'] else 'FAIL'}); normalized to the measured
 hardware ceiling: {result['index_normalized_efficiency']}.
+
+Steal stratification: per-pair host steal fractions (lo, hi windows) =
+{result['index_pair_steal_fracs']}.  Over the
+{len(result['index_clean_pair_efficiencies'])} CLEAN pairs (steal < 2%
+of host CPU on both sides), efficiencies =
+{result['index_clean_pair_efficiencies']} with **clean-pair median =
+{result['index_clean_pair_efficiency']}** — the estimate of what this
+job does on an uncontended host of this hardware class.
 
 ## Workload 2 — full frontier loop (transparency)
 

@@ -149,3 +149,36 @@ def test_streaming_equals_batch(spark, tmp_path):
                              str(tmp_path / "ckpt"))
     got = {tuple(r) for r in rows}
     assert got == batch
+
+
+def test_banlist_prefix_free_matches_reference_algorithm(spark):
+    """prefix_free == the reference's shortest-first kept-prefix scan
+    (tests/clean_the_banlist.py:138-146), including across partition
+    boundaries (10k urls with planted prefix chains)."""
+    from cdx_writer_spark.operators.banlist import prefix_free
+    import random
+    rng = random.Random(7)
+    urls = set()
+    for i in range(2000):
+        base = f"http://h{rng.randrange(300)}.com/{rng.randrange(50)}"
+        urls.add(base)
+        for _ in range(rng.randrange(4)):
+            base += f"/p{rng.randrange(10)}"
+            urls.add(base)
+
+    # reference algorithm: shortest first, keep iff no kept url is a prefix
+    expected = []
+    for u in sorted(urls, key=len):
+        if not any(u.startswith(k) for k in expected):
+            expected.append(u)
+    expected = sorted(expected)
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["url"] for r in prefix_free(df).orderBy("url").collect()]
+    assert got == expected
+
+    # tiny hand case incl. chains and an all-prefixed group
+    tiny = ["a", "ab", "abc", "b", "ba", "c", "ca", "cab", "cb"]
+    tdf = spark.createDataFrame([(u,) for u in tiny], ["url"])
+    tg = sorted(r["url"] for r in prefix_free(tdf).collect())
+    assert tg == ["a", "b", "c"]
