@@ -79,14 +79,23 @@ def crawl_bench(spark, n_pages: int, generations: int = 3):
     }
 
 
-def synth_warc_records(spark, n: int):
+def synth_warc_records(spark, n: int, partitions: int | None = None):
     """warc_records envelope rows synthesized from the deterministic page
     generator: response records whose payload is a real HTTP message, so
     the CDX field kernels do full-fidelity work (header split, sha1,
-    surt, meta-tag scan) per record."""
+    surt, meta-tag scan) per record.
+
+    The input LAYOUT is fixed by the data, not the session's core count —
+    exactly like files on object storage: ~50k records (~150 MB) per
+    task.  A cluster-size comparison over a cores-proportional layout
+    would compare different inputs (and give each side single-wave
+    whole-partition granularity, where one straggler stretches the whole
+    stage)."""
     from pyspark.sql import functions as F
     from cdx_writer_spark.sources.synth import synth_pages
-    pages = synth_pages(spark, n)
+    if partitions is None:
+        partitions = min(max(n // 50_000, 8), 512)
+    pages = synth_pages(spark, n, partitions=partitions)
     payload = F.concat(
         F.lit(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
               b"X-Robots-Tag: noarchive\r\n\r\n"), F.col("html"))

@@ -80,10 +80,17 @@ for line in sys.stdin:
               "wall": round(dt, 2), "sys_jif": d[2],
               "steal_jif": d[7]}}), flush=True)
     elif cmd == "CRAWL":
-        runs = [crawl_bench(spark, {n_pages}, generations={gens})
-                for _ in range(2)]
+        runs = []
+        for _ in range(3):
+            s0 = stat()
+            r = crawl_bench(spark, {n_pages}, generations={gens})
+            d = [b - a for a, b in zip(s0, stat())]
+            r["steal_jif"] = d[7]
+            r["steal_frac"] = round(d[7] / max(3200.0 * r["crawl_sec"], 1), 4)
+            runs.append(r)
         best = max(runs, key=lambda r: r["urls_per_sec"])
         best["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+        best["all_runs_steal_frac"] = [r["steal_frac"] for r in runs]
         print("RESULT " + json.dumps(best), flush=True)
     elif cmd == "QUIT":
         break
@@ -223,6 +230,9 @@ def main():
 Protocol (BASELINE.md): the same two jobs on the same deterministic
 synthetic input at local[{lo}] (N) and local[{hi}] ({mult}N); shuffle
 partitions scale with cores (session.py); heap pre-sized/pre-touched;
+the input's partition layout is FIXED by the data
+(~50k records/task, maxPartitionBytes-style sizing) and does not change
+with core count — like files on object storage (BASELINE.md item 1);
 one untimed full-size warm run per JVM.  Both JVMs stay alive and the
 {pairs} timed pairs are INTERLEAVED (N, {mult}N, N, {mult}N), because
 host capacity drifts minute-to-minute (bursty hypervisor steal —

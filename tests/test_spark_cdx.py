@@ -94,3 +94,52 @@ def test_streaming_cdx_equals_batch(spark, tmp_path):
                    str(tmp_path / "cdx_ckpt"), "stream_cdx_test")
     got = sorted(r["cdx_line"] for r in spark.table("stream_cdx_test").collect())
     assert got == batch
+
+
+def test_cdx_stream_file_sink_exactly_once(spark, tmp_path):
+    """run_cdx_stream_to_files: restarting the stream against the same
+    checkpoint with no new input must not duplicate rows; with one new
+    file it must append exactly that file's rows.  (The memory-sink
+    runner is a drain helper and makes no such guarantee.)"""
+    import shutil
+    from cdx_writer_spark.operators.cdx import cdx_fields, cdx_lines
+    from cdx_writer_spark.sources.warc import read_warc_records
+    from cdx_writer_spark.streaming.cdx_stream import (
+        run_cdx_stream_to_files, stream_cdx_lines, stream_warc_records)
+
+    fixture = "/root/reference/tests/wget_ia.warc.gz"
+    fixture2 = "/root/reference/tests/uncompressed.warc"
+    src = tmp_path / "records_in"
+    src.mkdir()
+    out = str(tmp_path / "cdx_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_batch(df, name):
+        stage = tmp_path / ("stage_" + name)
+        df.write.parquet(str(stage))
+        for i, part in enumerate(sorted(stage.glob("part-*.parquet"))):
+            shutil.copy(part, src / f"{name}-{i}.parquet")
+
+    recs1 = read_warc_records(spark, fixture)
+    add_batch(recs1, "batch1")
+    lines = stream_cdx_lines(stream_warc_records(spark, str(src)),
+                             all_records=True)
+    run_cdx_stream_to_files(lines, ckpt, out)
+    first = sorted(r["cdx_line"] for r in spark.read.parquet(out).collect())
+    batch1 = sorted(r["cdx_line"] for r in
+                    cdx_lines(cdx_fields(recs1, all_records=True)).collect())
+    assert first == batch1
+
+    # restart, no new input: nothing replays
+    run_cdx_stream_to_files(lines, ckpt, out)
+    again = sorted(r["cdx_line"] for r in spark.read.parquet(out).collect())
+    assert again == first
+
+    # add a second file: exactly its rows append
+    recs2 = read_warc_records(spark, fixture2)
+    add_batch(recs2, "batch2")
+    run_cdx_stream_to_files(lines, ckpt, out)
+    final = sorted(r["cdx_line"] for r in spark.read.parquet(out).collect())
+    batch2 = sorted(r["cdx_line"] for r in
+                    cdx_lines(cdx_fields(recs2, all_records=True)).collect())
+    assert final == sorted(first + batch2)
