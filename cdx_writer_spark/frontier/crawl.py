@@ -54,6 +54,12 @@ class CrawlConfig:
     # sharded (shard, bitmap)-table bloom from frontier/seen.py whose
     # driver memory is O(1) in the key count — the 10^10 deployment.
     bloom_shards: int = 0
+    # skip the salted pre-top-k (schedule phase 0) while the frontier is
+    # below this many rows: the skew it guards against needs a hot host
+    # with >> budget rows, and the extra window shuffle is pure fixed
+    # cost per generation until then.  Size comes free from the
+    # observe() metric on the frontier's checkpoint materialization.
+    salt_phase_min_rows: int = 200_000
     # global mode: novel keys accumulate in a small exact side table and
     # the bitmap is re-OR-ed + re-broadcast only when they exceed this,
     # so broadcast serialization is amortized instead of per-generation
@@ -121,22 +127,29 @@ def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
     return ranged.mapInPandas(take_fn, schema)
 
 
-def schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def schedule(frontier: DataFrame, cfg: CrawlConfig,
+             frontier_size: int | None = None) -> DataFrame:
     """Politeness + priority-queue pop: per-host budget then global top-k,
     fully deterministic (urlkey tiebreaks).
 
     Phase 0 (skew): partial top-k within (host, salt) — cheap map-side
-    bound so the hottest Zipf host can't overload one reducer.
+    bound so the hottest Zipf host can't overload one reducer.  Skipped
+    (result-identical: phase 1 is exact, and every per-host top-budget
+    row is inside its salt bucket's top-budget) while the frontier is
+    known to be below cfg.salt_phase_min_rows — one fewer window shuffle
+    per generation.
     Phase 1: exact row_number per host ≤ budget.
     Phase 2: global top ``global_batch`` by (priority, urlkey) via a
     range-partitioned sort (no single-node sort)."""
-    salted = frontier.withColumn(
-        "salt", F.pmod(F.xxhash64("urlkey"), F.lit(N_SALT)))
-    w0 = (Window.partitionBy("host", "salt")
-          .orderBy(F.desc("priority"), "urlkey"))
-    pre = (salted.withColumn("rn0", F.row_number().over(w0))
-           .filter(F.col("rn0") <= cfg.per_host_budget)
-           .drop("rn0", "salt"))
+    pre = frontier
+    if frontier_size is None or frontier_size >= cfg.salt_phase_min_rows:
+        salted = frontier.withColumn(
+            "salt", F.pmod(F.xxhash64("urlkey"), F.lit(N_SALT)))
+        w0 = (Window.partitionBy("host", "salt")
+              .orderBy(F.desc("priority"), "urlkey"))
+        pre = (salted.withColumn("rn0", F.row_number().over(w0))
+               .filter(F.col("rn0") <= cfg.per_host_budget)
+               .drop("rn0", "salt"))
     w1 = Window.partitionBy("host").orderBy(F.desc("priority"), "urlkey")
     polite = (pre.withColumn("rn", F.row_number().over(w1))
               .filter(F.col("rn") <= cfg.per_host_budget).drop("rn"))
@@ -184,7 +197,8 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                robots: DataFrame | None, cfg: CrawlConfig, gen: int,
-               bloom=None, recent: DataFrame | None = None):
+               bloom=None, recent: DataFrame | None = None,
+               frontier_size: int | None = None):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
     ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
@@ -203,7 +217,7 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # materialize the (small, batch-bounded) selection once — it feeds the
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains two window shuffles that must not re-execute per consumer
-    selected = (schedule(frontier, cfg)
+    selected = (schedule(frontier, cfg, frontier_size)
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=True))
 
@@ -254,7 +268,10 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         .observe(obs_novel, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True))
 
-    leftover = frontier.join(selected.select("urlkey"), "urlkey", "left_anti")
+    # selected is bounded by global_batch — broadcast it so the (much
+    # larger) frontier never shuffles for this anti-join
+    leftover = frontier.join(F.broadcast(selected.select("urlkey")),
+                             "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
     # only the novel discoveries are new to the seen set: selected URLs
     # entered it the moment they were enqueued (distinct by construction,
@@ -373,8 +390,15 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 emitted_keys = emitted_keys.unionByName(e)
         else:
             resume = False
+    from pyspark.sql import Observation
+
+    frontier_size: int | None = None   # None = unknown (resume) -> keep salt
     if start_gen == 0:
-        frontier = init_frontier(seeds).localCheckpoint(eager=True)
+        obs0 = Observation()
+        frontier = (init_frontier(seeds)
+                    .observe(obs0, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True))
+        frontier_size = int(obs0.get["n"])
         seen = frontier.select("urlkey")
     seen_parts = [seen]
 
@@ -416,7 +440,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         recent = _union_all(recent_parts) if recent_parts else None
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
-            recent=recent)
+            recent=recent, frontier_size=frontier_size)
         if emitted_keys is not None:
             cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
                            "urlkey", "left_anti")
@@ -429,8 +453,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             seen_parts = [_union_all(seen_parts).localCheckpoint(eager=True)]
         seen = _union_all(seen_parts)
         # frontier feeds two consumers next generation (schedule + leftover
-        # anti-join) through window shuffles — materialize it once
-        frontier = frontier.localCheckpoint(eager=True)
+        # anti-join) through window shuffles — materialize it once; its
+        # row count rides along as a free observe() metric and feeds the
+        # next generation's salt-phase decision
+        obs_f = Observation()
+        frontier = (frontier.observe(obs_f, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True))
+        frontier_size = int(obs_f.get["n"])
+        metrics["frontier_size"] = frontier_size
         if cfg.use_bloom:
             novel = metrics["novel"]
             seen_count += novel
