@@ -418,6 +418,54 @@ FROM pairs
 """
 
 
+def dedup_simhash16(spark, sf):
+    """SimHash, value-checked: a 16-bit md5-based variant (md5 is
+    identical on both engines; production uses 64-bit xxhash64, which
+    DuckDB lacks — dedup_simhash_pairs stays the rows-only check for
+    that).  Same one-pass shape as operators/dedup.simhash: ONE
+    groupBy(doc) carrying all 16 bit-vote conditional sums."""
+    d = (_t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+         .select("doc_id", F.expr(
+             "array_distinct(filter(split(text, ' '), t -> t <> ''))")
+             .alias("toks")))
+    tok = d.select("doc_id", F.explode("toks").alias("tok")) \
+           .withColumn("h", F.md5("tok"))
+
+    def bit(i):
+        ch = f"substring(h, {1 + i // 4}, 1)"
+        v = f"(position({ch}, '0123456789abcdef') - 1)"
+        return f"((shiftright({v}, {3 - i % 4}) & 1) = 1)"
+
+    votes = [F.sum(F.when(F.expr(bit(i)), 1).otherwise(-1)).alias(f"v{i}")
+             for i in range(16)]
+    assemble = F.expr(" + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)))
+    return (tok.groupBy("doc_id").agg(*votes)
+            .select("doc_id", assemble.cast("long").alias("simhash16"))
+            .orderBy("doc_id"))
+
+
+ORACLE_SIMHASH16 = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents WHERE doc_id < 80)),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (
+  SELECT doc_id, i,
+         ((position(substr(h, 1 + i // 4, 1) IN '0123456789abcdef') - 1)
+          >> (3 - i % 4)) & 1 AS bit
+  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+votes AS (
+  SELECT doc_id, i, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf):
     """n-gram (3-word shingle) Jaccard near-dup pairs over exploded shingles:
     |A∩B| via equi-join counts, |A∪B| = |A|+|B|-|A∩B|.  Blocked by lang to
@@ -721,6 +769,7 @@ QUERIES = {
     "banlist_prefix_dedup": banlist_prefix_dedup,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash16": dedup_simhash16,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "cosine_topk": cosine_topk,
     "embedding_label_stats": embedding_label_stats,
@@ -746,6 +795,7 @@ ORACLES = {
     "banlist_prefix_dedup": ORACLE_BANLIST,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash16": ORACLE_SIMHASH16,
     "dedup_ngram_jaccard": ORACLE_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_stats": ORACLE_EMB_STATS,
