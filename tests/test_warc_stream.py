@@ -200,3 +200,17 @@ def test_strict_mode_accepts_all_reference_fixtures():
         strict = [_key(r) for r in parse_archive_bytes(data, "x",
                                                        strict=True)]
         assert strict == lenient, path
+
+
+def test_spark_source_strict_mode(spark, tmp_path):
+    """strict=True threads through the Spark source: a corrupt archive
+    fails the job instead of silently skipping the bad tail."""
+    from cdx_writer_spark.sources.warc import read_warc_records
+    good = _warc_member(_det_bytes(1024), "http://ex.com/ok")
+    corrupt = tmp_path / "corrupt.warc.gz"
+    corrupt.write_bytes(good + good[: len(good) // 2])
+    # lenient: parses the intact record
+    assert read_warc_records(spark, str(corrupt)).count() >= 1
+    with pytest.raises(Exception) as ei:
+        read_warc_records(spark, str(corrupt), strict=True).count()
+    assert "truncated" in str(ei.value) or "ParseError" in str(ei.value)
