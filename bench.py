@@ -160,6 +160,18 @@ def main():
                       extra=jvm_opts)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # session warmup so the first catalog query doesn't absorb JVM/codegen/
+    # parquet-footer/Arrow-worker startup (~8s of one-time cost that is not
+    # query time): touch a scan, an agg, a window and a pandas UDF once
+    from pyspark.sql import Window, functions as F
+    from cdx_writer_spark.functions.udfs import surt_key
+    warm = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20000)
+    (warm.withColumn("k", surt_key(F.concat(F.lit("http://w.com/"),
+                                            F.col("o_orderkey").cast("string"))))
+     .withColumn("rn", F.row_number().over(
+         Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+     .groupBy("o_orderstatus").count().count())
+
     queries: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:

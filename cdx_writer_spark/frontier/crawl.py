@@ -258,7 +258,9 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # seen-set: candidates anti-join seen (bloom pre-filter cuts the probe
     # volume; the exact join stays the source of truth)
     from .seen import anti_join_seen
-    novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent)
+    scratch: list = [selected]
+    novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent,
+                           scratch=scratch)
 
     obs_novel = Observation()
     new_entries = (novel.select(
@@ -286,6 +288,15 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         "scheduled": n_fetched,    # == fetched == cdx rows by design
         "novel": int(obs_novel.get["n"]),
         "cdx_rows": n_fetched,
+        # checkpointed frames with no consumer after the next frontier
+        # materializes — run_crawl unpersists them (localCheckpoint blocks
+        # are not freed until a JVM GC notices the dropped python ref;
+        # un-freed they accumulate across generations and throughput
+        # degrades monotonically — measured 2x over 3 repeats)
+        "_scratch": scratch,
+        # the persisted frame behind new_seen (a projection of it): the
+        # handle the seen-delta lifecycle must unpersist at compaction
+        "_delta_handle": new_entries,
     }
     return next_frontier, new_seen_keys, cdx, metrics
 
@@ -393,6 +404,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     from pyspark.sql import Observation
 
     frontier_size: int | None = None   # None = unknown (resume) -> keep salt
+    init_handle = None   # gen-0 frontier checkpoint: seen_parts[0] reads its
+    #                      blocks, so it is freed only at delta compaction
     if start_gen == 0:
         obs0 = Observation()
         frontier = (init_frontier(seeds)
@@ -400,7 +413,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     .localCheckpoint(eager=True))
         frontier_size = int(obs0.get["n"])
         seen = frontier.select("urlkey")
+        init_handle = frontier
     seen_parts = [seen]
+    # persisted frames backing seen_parts (None for resume's parquet read)
+    seen_handles: list = [init_handle]
 
     sc = spark.sparkContext
     use_sharded = cfg.bloom_shards > 0
@@ -424,8 +440,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 sb = build_sharded_bloom(seen, "urlkey", cfg.bloom_shards,
                                          capacity=bloom_cap,
                                          fpp=cfg.bloom_fpp)
+                old_bloom_df = bloom.df if isinstance(bloom, ShardedBloom) \
+                    else None
                 bloom = ShardedBloom(sb.df.localCheckpoint(eager=True),
                                      sb.n_shards, sb.m, sb.k)
+                if old_bloom_df is not None:
+                    old_bloom_df.unpersist()
             else:
                 b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
                                       fpp=cfg.bloom_fpp)
@@ -438,19 +458,29 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             recent_parts, pending_novel = [], 0
 
         recent = _union_all(recent_parts) if recent_parts else None
+        prev_frontier_handle = frontier   # current gen's persisted frontier
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
             recent=recent, frontier_size=frontier_size)
+        scratch = metrics.pop("_scratch", [])
+        delta_handle = metrics.pop("_delta_handle", None)
         if emitted_keys is not None:
             cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
                            "urlkey", "left_anti")
         # new_seen is already localCheckpoint-ed inside crawl_step
         # (new_entries), so the union of parts re-materializes nothing
         seen_parts.append(new_seen)
+        seen_handles.append(delta_handle)
+        compact_old: list | None = None
         if len(seen_parts) >= 32:
             # long crawls: compact the delta chain so per-part task overhead
-            # stays bounded — one O(total) pass amortized over 32 generations
-            seen_parts = [_union_all(seen_parts).localCheckpoint(eager=True)]
+            # stays bounded — one O(total) pass amortized over 32 generations;
+            # the superseded delta frames are freed at the END of this
+            # generation (this gen's delta also feeds next_frontier, and the
+            # checkpoint write + any recent-bloom flush still read them)
+            base = _union_all(seen_parts).localCheckpoint(eager=True)
+            compact_old = [h for h in seen_handles if h is not None]
+            seen_parts, seen_handles = [base], [base]
         seen = _union_all(seen_parts)
         # frontier feeds two consumers next generation (schedule + leftover
         # anti-join) through window shuffles — materialize it once; its
@@ -470,21 +500,28 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                         new_seen, "urlkey", cfg.bloom_shards, capacity=1,
                         m=bloom.m, k=bloom.k)
                     merged = merge_sharded_blooms(bloom, delta)
+                    old_bloom_df = bloom.df
                     bloom = ShardedBloom(
                         merged.df.localCheckpoint(eager=True),
                         merged.n_shards, merged.m, merged.k)
+                    old_bloom_df.unpersist()
                 else:
                     recent_parts.append(new_seen)
                     pending_novel += novel
-                    if pending_novel >= cfg.bloom_rebroadcast_keys:
-                        m, k = bloom_mk
-                        b, _, _ = build_bloom(_union_all(recent_parts),
-                                              "urlkey", m=m, k=k)
-                        bloom_bits |= np.frombuffer(b, dtype=np.uint64)
-                        bloom_bc.unpersist()
-                        bloom_bc = sc.broadcast(bloom_bits.tobytes())
-                        bloom = (bloom_bc, m, k)
-                        recent_parts, pending_novel = [], 0
+            if (not use_sharded and bloom is not None and recent_parts
+                    and (pending_novel >= cfg.bloom_rebroadcast_keys
+                         or compact_old is not None)):
+                # fold pending deltas into the bitmap + re-broadcast.
+                # Forced at compaction: the recent frames' blocks are about
+                # to be freed, so they must enter the filter first.
+                m, k = bloom_mk
+                b, _, _ = build_bloom(_union_all(recent_parts),
+                                      "urlkey", m=m, k=k)
+                bloom_bits |= np.frombuffer(b, dtype=np.uint64)
+                bloom_bc.unpersist()
+                bloom_bc = sc.broadcast(bloom_bits.tobytes())
+                bloom = (bloom_bc, m, k)
+                recent_parts, pending_novel = [], 0
         cdx_parts.append(cdx)
         all_metrics.append(metrics)
         if checkpoint_dir:
@@ -493,6 +530,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             delta = (seen_parts[0].unionByName(new_seen) if gen == 0
                      else new_seen)
             save_state(checkpoint_dir, gen, frontier, delta, cdx, metrics)
+        # ---- free superseded checkpoint blocks (last: everything that
+        # still reads them — frontier ckpt, bloom flush, save_state — has
+        # materialized).  The init frontier stays until compaction since
+        # seen_parts[0] reads its blocks.
+        for df in scratch:
+            df.unpersist()
+        if prev_frontier_handle is not init_handle:
+            prev_frontier_handle.unpersist()
+        if compact_old is not None:
+            for h in compact_old:
+                h.unpersist()
+            init_handle = None
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
         all_cdx = all_cdx.unionByName(c)

@@ -121,7 +121,8 @@ def bloom_prefilter(candidates: DataFrame, key: str, bitmap,
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
                    bloom=None, recent: DataFrame | None = None,
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   scratch: list | None = None) -> DataFrame:
     """candidates − seen.  With a bloom sidecar (a ``(bitmap, m, k)``
     tuple or a :class:`ShardedBloom`), only the maybe-seen slice pays the
     join shuffle; the definite-novel slice is unioned back.
@@ -137,7 +138,13 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
     upstream of the filter — typically the candidate pipeline with its
     canonicalization UDF and dedup shuffles — executes twice (measured
     7x slower on the crawl's discover stage).  The flagged rows are
-    candidate-batch-sized, so the checkpoint is cheap."""
+    candidate-batch-sized, so the checkpoint is cheap.
+
+    ``scratch``: optional list; the materialized flagged frame is
+    appended so the caller can unpersist it once its consumers are
+    materialized (localCheckpoint blocks are NOT freed by Spark until a
+    JVM GC notices the dropped reference — a many-generation crawl that
+    never frees them degrades monotonically as the block store fills)."""
     if bloom is None:
         return candidates.join(seen.select(key), key, "left_anti")
     if isinstance(bloom, ShardedBloom):
@@ -147,6 +154,8 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
         flagged = bloom_prefilter(candidates, key, bitmap, m, k)
     if materialize:
         flagged = flagged.localCheckpoint(eager=True)
+        if scratch is not None:
+            scratch.append(flagged)
     novel = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     if recent is not None:
         novel = novel.join(F.broadcast(recent.select(key)), key, "left_anti")
