@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.udfs import extract_outlinks, surt_and_host
+from ..util import free_checkpoint
 
 __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
            "load_state", "page_cdx"]
@@ -64,6 +65,16 @@ class CrawlConfig:
     # the bitmap is re-OR-ed + re-broadcast only when they exceed this,
     # so broadcast serialization is amortized instead of per-generation
     bloom_rebroadcast_keys: int = 250_000
+    # below this frontier size a generation runs FUSED: two jobs (parsed +
+    # next frontier) instead of 4-5, lazy localCheckpoints for the other
+    # compute-once frames, seen delta derived from the frontier snapshot.
+    # Above it (the 10^10 production regime, where job-launch latency is
+    # <1% of a generation) every stage keeps its own eager checkpoint and
+    # the seen delta is a compact per-generation frame instead of a
+    # filter over retained full-frontier snapshots.
+    fuse_below_rows: int = 2_000_000
+    # compact the seen-set delta chain once it reaches this many parts
+    seen_compact_parts: int = 32
     collect_metrics: bool = True
 
 
@@ -198,7 +209,7 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                robots: DataFrame | None, cfg: CrawlConfig, gen: int,
                bloom=None, recent: DataFrame | None = None,
-               frontier_size: int | None = None):
+               frontier_size: int | None = None, fused: bool = False):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
     ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
@@ -208,18 +219,36 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     the full set (see seen.anti_join_seen).  Without a bloom the exact
     anti-join runs alone.
 
-    Metric counts ride as ``observe()`` metrics on the two frames this
-    step already materializes (parsed, new_entries) — zero extra jobs per
-    generation (the count() jobs they replace were the loop's Amdahl
-    serial term at small batch sizes)."""
+    Metric counts ride as ``observe()`` metrics on frames this step
+    already materializes eagerly — zero extra jobs per generation (the
+    count() jobs they replace were the loop's Amdahl serial term at
+    small batch sizes).
+
+    ``fused`` (run_crawl turns it on while the frontier is below
+    cfg.fuse_below_rows): the generation runs as TWO jobs instead of
+    4-5.  The only eager materializations are ``parsed`` here and the
+    next frontier in run_crawl; every other compute-once frame
+    (selection, bloom-flagged candidates) uses a LAZY localCheckpoint —
+    the first job that touches it materializes+persists it in-line and
+    later consumers (including a second union branch of the SAME job)
+    read the persisted blocks, verified compute-once on Spark 4.1.2.
+    The seen delta is not checkpointed at all: run_crawl derives it
+    from the checkpointed next frontier (generation == gen+1).  The
+    4-5-job layout cost ~12s/generation of core-count-independent
+    scheduler/stage-launch latency at sandbox scale (BENCH.md workload
+    2b) — the Amdahl term behind the crawl loop's 0.26 measured scaling.
+    Observations stay on eager checkpoints only: an observe() under a
+    lazy checkpoint records nothing (verified — the metric fires empty).
+    """
     from pyspark.sql import Observation
 
     # materialize the (small, batch-bounded) selection once — it feeds the
     # fetch join, the leftover anti-join and the metrics, and its lineage
-    # contains two window shuffles that must not re-execute per consumer
+    # contains window shuffles that must not re-execute per consumer.
+    # Fused: lazily — the fetch join's broadcast build materializes it.
     selected = (schedule(frontier, cfg, frontier_size)
                 .withColumn("generation", F.lit(gen))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=not fused))
 
     # fetch: the batch is bounded by global_batch — broadcast it against
     # the (arbitrarily large) web so the pages table never shuffles
@@ -260,44 +289,56 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     from .seen import anti_join_seen
     scratch: list = [selected]
     novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent,
+                           materialize="lazy" if fused else True,
                            scratch=scratch)
 
-    obs_novel = Observation()
-    new_entries = (novel.select(
+    new_entries = novel.select(
         "urlkey", "url", "host",
         F.round(F.col("parent_priority") * cfg.priority_decay, 6).alias("priority"),
         F.lit(gen + 1).alias("generation"))
-        .observe(obs_novel, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True))
+    if fused:
+        # no checkpoint and no observation: new_entries materializes once,
+        # inside the next-frontier checkpoint job; run_crawl reads the
+        # novel count off that job's observation and derives the seen
+        # delta by filtering the checkpointed frontier on generation
+        obs_novel = None
+        new_seen_keys = None
+    else:
+        obs_novel = Observation()
+        new_entries = (new_entries
+                       .observe(obs_novel, F.count(F.lit(1)).alias("n"))
+                       .localCheckpoint(eager=True))
+        # only the novel discoveries are new to the seen set: selected
+        # URLs entered it the moment they were enqueued (distinct by
+        # construction, so the union below needs no dedup shuffle)
+        new_seen_keys = new_entries.select("urlkey")
 
     # selected is bounded by global_batch — broadcast it so the (much
     # larger) frontier never shuffles for this anti-join
     leftover = frontier.join(F.broadcast(selected.select("urlkey")),
                              "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
-    # only the novel discoveries are new to the seen set: selected URLs
-    # entered it the moment they were enqueued (distinct by construction,
-    # so the union below needs no dedup shuffle)
-    new_seen_keys = new_entries.select("urlkey")
 
-    # the eager localCheckpoints above already ran the jobs; these gets
-    # return recorded metrics without launching anything
+    # parsed's eager localCheckpoint already ran its job; this get
+    # returns the recorded metric without launching anything
     n_fetched = int(obs_parsed.get["n"])
     metrics = {
         "generation": gen,
         "scheduled": n_fetched,    # == fetched == cdx rows by design
-        "novel": int(obs_novel.get["n"]),
         "cdx_rows": n_fetched,
         # checkpointed frames with no consumer after the next frontier
-        # materializes — run_crawl unpersists them (localCheckpoint blocks
-        # are not freed until a JVM GC notices the dropped python ref;
-        # un-freed they accumulate across generations and throughput
-        # degrades monotonically — measured 2x over 3 repeats)
+        # materializes — run_crawl frees their blocks with
+        # util.free_checkpoint (plain unpersist() is a no-op on
+        # localCheckpoint blocks; un-freed they accumulate across
+        # generations and throughput degrades monotonically — measured
+        # 2x over 3 repeats)
         "_scratch": scratch,
-        # the persisted frame behind new_seen (a projection of it): the
-        # handle the seen-delta lifecycle must unpersist at compaction
-        "_delta_handle": new_entries,
     }
+    if not fused:
+        metrics["novel"] = int(obs_novel.get["n"])
+        # the persisted frame behind new_seen (a projection of it): the
+        # handle the seen-delta lifecycle must free at compaction
+        metrics["_delta_handle"] = new_entries
     return next_frontier, new_seen_keys, cdx, metrics
 
 
@@ -342,15 +383,25 @@ def load_state(spark: SparkSession, root: str):
             if m.get("complete"):
                 gen = int(g.split("=")[1])
                 fr = spark.read.parquet(os.path.join(root, g, "frontier"))
-                if m.get("seen_format") == "delta-v2":
-                    seen = spark.read.parquet(
-                        *[os.path.join(_gen_dir(root, i), "seen")
-                          for i in range(gen + 1)])
-                else:
-                    # legacy checkpoints stored the FULL seen set every
-                    # generation — unioning those would duplicate rows and
-                    # inflate the count that sizes the bloom
-                    seen = spark.read.parquet(os.path.join(root, g, "seen"))
+                # assemble the seen set newest-first, checking EACH
+                # generation's own manifest: a delta-v2 gen contributes its
+                # delta and the walk continues; a legacy gen stored the FULL
+                # set, superseding everything before it — stop there.
+                # (Deciding from only the latest manifest would union legacy
+                # FULL snapshots as if they were deltas after a resume that
+                # appended delta-v2 gens to a legacy dir, duplicating the
+                # seen set ~gen-fold and inflating the bloom sizing.)
+                parts = []
+                for i in range(gen, -1, -1):
+                    parts.append(os.path.join(_gen_dir(root, i), "seen"))
+                    mfi = os.path.join(_gen_dir(root, i), "manifest.json")
+                    fmt = None
+                    if os.path.exists(mfi):
+                        with open(mfi) as fh:
+                            fmt = json.load(fh).get("seen_format")
+                    if fmt != "delta-v2":
+                        break
+                seen = spark.read.parquet(*parts)
                 return gen, fr, seen, m
     return None
 
@@ -415,12 +466,23 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         seen = frontier.select("urlkey")
         init_handle = frontier
     seen_parts = [seen]
-    # persisted frames backing seen_parts (None for resume's parquet read)
+    # persisted frames backing seen_parts (None for resume's parquet read).
+    # In fused generations the handle IS the generation's full frontier
+    # snapshot (the seen delta is a filter over it), so a handle may back
+    # both the live frontier and a seen part — the freeing rules below
+    # check identity against this list before releasing any blocks.
     seen_handles: list = [init_handle]
 
     sc = spark.sparkContext
     use_sharded = cfg.bloom_shards > 0
-    seen_count = seen.count() if cfg.use_bloom else 0
+    if not cfg.use_bloom:
+        seen_count = 0
+    elif start_gen == 0:
+        # fresh start: |seen| == |frontier| == the seed count we already
+        # observed — no dedicated count() job
+        seen_count = frontier_size
+    else:
+        seen_count = seen.count()
     bloom = None                    # (Broadcast, m, k) | ShardedBloom
     bloom_bits: "np.ndarray | None" = None   # driver copy, global mode
     bloom_bc = None                 # live broadcast handle, global mode
@@ -431,6 +493,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
     cdx_parts = []
     for gen in range(start_gen, generations):
+        # fused small-generation mode: see crawl_step.  Off when the
+        # frontier size is unknown (resume) or at production scale.
+        fused = (frontier_size is not None
+                 and frontier_size < cfg.fuse_below_rows)
         if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
                 bloom is None or seen_count > bloom_cap):
             # (re)build over the full set with headroom so later generations
@@ -445,7 +511,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 bloom = ShardedBloom(sb.df.localCheckpoint(eager=True),
                                      sb.n_shards, sb.m, sb.k)
                 if old_bloom_df is not None:
-                    old_bloom_df.unpersist()
+                    free_checkpoint(old_bloom_df)
             else:
                 b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
                                       fpp=cfg.bloom_fpp)
@@ -461,36 +527,48 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         prev_frontier_handle = frontier   # current gen's persisted frontier
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
-            recent=recent, frontier_size=frontier_size)
+            recent=recent, frontier_size=frontier_size, fused=fused)
         scratch = metrics.pop("_scratch", [])
         delta_handle = metrics.pop("_delta_handle", None)
         if emitted_keys is not None:
             cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
                            "urlkey", "left_anti")
-        # new_seen is already localCheckpoint-ed inside crawl_step
-        # (new_entries), so the union of parts re-materializes nothing
+        # frontier feeds two consumers next generation (schedule + leftover
+        # anti-join) through window shuffles — materialize it once; its
+        # row count (and, fused, the novel-discovery count) ride along as
+        # free observe() metrics.  In fused mode this is the generation's
+        # SECOND AND LAST job: selection, discovery, bloom check, exact
+        # anti-join and union all materialize inside it.
+        obs_f = Observation()
+        frontier = (frontier.observe(
+            obs_f, F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("generation") == gen + 1, 1).otherwise(0))
+            .alias("novel"))
+            .localCheckpoint(eager=True))
+        vals = obs_f.get
+        frontier_size = int(vals["n"])
+        metrics["frontier_size"] = frontier_size
+        if fused:
+            metrics["novel"] = int(vals["novel"] or 0)
+            # the seen delta: this generation's novel entries, read off the
+            # frontier snapshot (they are exactly the generation==gen+1
+            # rows) — no dedicated delta checkpoint
+            new_seen = (frontier.where(F.col("generation") == gen + 1)
+                        .select("urlkey"))
+            delta_handle = frontier
         seen_parts.append(new_seen)
         seen_handles.append(delta_handle)
         compact_old: list | None = None
-        if len(seen_parts) >= 32:
-            # long crawls: compact the delta chain so per-part task overhead
-            # stays bounded — one O(total) pass amortized over 32 generations;
-            # the superseded delta frames are freed at the END of this
-            # generation (this gen's delta also feeds next_frontier, and the
-            # checkpoint write + any recent-bloom flush still read them)
+        if len(seen_parts) >= cfg.seen_compact_parts:
+            # long crawls: compact the delta chain so per-part scan/task
+            # overhead stays bounded — one O(total) pass amortized over
+            # seen_compact_parts generations; the superseded backing frames
+            # are freed at the END of this generation (the recent-bloom
+            # flush below is forced first so no recent part outlives them)
             base = _union_all(seen_parts).localCheckpoint(eager=True)
             compact_old = [h for h in seen_handles if h is not None]
             seen_parts, seen_handles = [base], [base]
         seen = _union_all(seen_parts)
-        # frontier feeds two consumers next generation (schedule + leftover
-        # anti-join) through window shuffles — materialize it once; its
-        # row count rides along as a free observe() metric and feeds the
-        # next generation's salt-phase decision
-        obs_f = Observation()
-        frontier = (frontier.observe(obs_f, F.count(F.lit(1)).alias("n"))
-                    .localCheckpoint(eager=True))
-        frontier_size = int(obs_f.get["n"])
-        metrics["frontier_size"] = frontier_size
         if cfg.use_bloom:
             novel = metrics["novel"]
             seen_count += novel
@@ -504,7 +582,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     bloom = ShardedBloom(
                         merged.df.localCheckpoint(eager=True),
                         merged.n_shards, merged.m, merged.k)
-                    old_bloom_df.unpersist()
+                    free_checkpoint(old_bloom_df)
                 else:
                     recent_parts.append(new_seen)
                     pending_novel += novel
@@ -512,8 +590,9 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     and (pending_novel >= cfg.bloom_rebroadcast_keys
                          or compact_old is not None)):
                 # fold pending deltas into the bitmap + re-broadcast.
-                # Forced at compaction: the recent frames' blocks are about
-                # to be freed, so they must enter the filter first.
+                # Forced at compaction: the recent frames read blocks that
+                # are about to be freed, so they must enter the filter
+                # first.
                 m, k = bloom_mk
                 b, _, _ = build_bloom(_union_all(recent_parts),
                                       "urlkey", m=m, k=k)
@@ -532,16 +611,20 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             save_state(checkpoint_dir, gen, frontier, delta, cdx, metrics)
         # ---- free superseded checkpoint blocks (last: everything that
         # still reads them — frontier ckpt, bloom flush, save_state — has
-        # materialized).  The init frontier stays until compaction since
-        # seen_parts[0] reads its blocks.
+        # materialized).  A frontier snapshot that backs a live seen part
+        # (fused generations, and gen 0's seed keys) stays until the
+        # compaction that absorbs it; recent_parts never outlive their
+        # backing frames because the flush above is forced at compaction.
         for df in scratch:
-            df.unpersist()
-        if prev_frontier_handle is not init_handle:
-            prev_frontier_handle.unpersist()
+            free_checkpoint(df)
+        if (prev_frontier_handle is not frontier
+                and not any(h is prev_frontier_handle
+                            for h in seen_handles)):
+            free_checkpoint(prev_frontier_handle)
         if compact_old is not None:
             for h in compact_old:
-                h.unpersist()
-            init_handle = None
+                if h is not frontier:
+                    free_checkpoint(h)
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
         all_cdx = all_cdx.unionByName(c)

@@ -121,7 +121,7 @@ def bloom_prefilter(candidates: DataFrame, key: str, bitmap,
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
                    bloom=None, recent: DataFrame | None = None,
-                   materialize: bool = True,
+                   materialize: bool | str = True,
                    scratch: list | None = None) -> DataFrame:
     """candidates − seen.  With a bloom sidecar (a ``(bitmap, m, k)``
     tuple or a :class:`ShardedBloom`), only the maybe-seen slice pays the
@@ -138,13 +138,18 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
     upstream of the filter — typically the candidate pipeline with its
     canonicalization UDF and dedup shuffles — executes twice (measured
     7x slower on the crawl's discover stage).  The flagged rows are
-    candidate-batch-sized, so the checkpoint is cheap.
+    candidate-batch-sized, so the checkpoint is cheap.  ``True`` =
+    eager checkpoint (its own job); ``"lazy"`` = non-eager checkpoint —
+    the first job that touches the frame materializes+persists it
+    in-line, later consumers (including the second union branch of the
+    SAME job) read the persisted blocks: compute-once without the extra
+    job barrier (the crawl loop's fused small-generation mode).
 
     ``scratch``: optional list; the materialized flagged frame is
-    appended so the caller can unpersist it once its consumers are
-    materialized (localCheckpoint blocks are NOT freed by Spark until a
-    JVM GC notices the dropped reference — a many-generation crawl that
-    never frees them degrades monotonically as the block store fills)."""
+    appended so the caller can free it (util.free_checkpoint — plain
+    ``unpersist()`` is a no-op on localCheckpoint blocks) once its
+    consumers are materialized; a many-generation crawl that never
+    frees them degrades monotonically as the block store fills."""
     if bloom is None:
         return candidates.join(seen.select(key), key, "left_anti")
     if isinstance(bloom, ShardedBloom):
@@ -153,7 +158,7 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
         bitmap, m, k = bloom
         flagged = bloom_prefilter(candidates, key, bitmap, m, k)
     if materialize:
-        flagged = flagged.localCheckpoint(eager=True)
+        flagged = flagged.localCheckpoint(eager=(materialize != "lazy"))
         if scratch is not None:
             scratch.append(flagged)
     novel = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")

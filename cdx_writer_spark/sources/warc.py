@@ -115,10 +115,12 @@ def read_warc_records(spark: SparkSession, path: str | list[str],
     files = _expand_paths(path)
     if not files:
         return spark.createDataFrame([], WARC_RECORDS_SCHEMA)
+    # exactly one file per task: parallelize with one slice per path
+    # (a hash repartition on the path column can collide, putting 2+
+    # archives in one task and leaving other partitions empty)
     paths_df = spark.createDataFrame(
-        [(p,) for p in files], T.StructType(
-            [T.StructField("path", T.StringType())])
-    ).repartition(len(files), "path")
+        spark.sparkContext.parallelize([(p,) for p in files], len(files)),
+        T.StructType([T.StructField("path", T.StringType())]))
 
     def split_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the task so executors resolve the shipped package

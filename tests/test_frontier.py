@@ -207,3 +207,118 @@ def test_legacy_checkpoint_full_snapshot_load(spark, tmp_path):
     gen, _fr, seen, _m = load_state(spark, root)
     assert gen == 1
     assert seen.count() == 100, "legacy snapshots must not be unioned"
+
+
+def test_fused_generations_equal_unfused(spark, world):
+    """The fused small-generation mode (2 jobs/gen, lazy checkpoints, seen
+    delta derived from the frontier snapshot) must be result-identical to
+    the fully-materialized big-generation path — it is a scheduling
+    change, never a semantics change.  Covers both bloom and exact modes."""
+    pages, seeds, robots = world
+    for bloom_kw in (dict(use_bloom=False),
+                     dict(use_bloom=True, bloom_min_keys=1)):
+        base = dict(per_host_budget=2, global_batch=200, **bloom_kw)
+        cfg_fused = CrawlConfig(fuse_below_rows=10**9, **base)
+        cfg_big = CrawlConfig(fuse_below_rows=0, **base)
+
+        def run(cfg):
+            f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+            return (sorted(r["urlkey"] for r in seen.collect()),
+                    sorted((r["urlkey"], r["generation"])
+                           for r in cdx.collect()),
+                    sorted(tuple(r) for r in f.collect()),
+                    [(x["scheduled"], x["novel"]) for x in m])
+        a, b = run(cfg_fused), run(cfg_big)
+        assert a[0] == b[0], f"seen differs fused-vs-unfused ({bloom_kw})"
+        assert a[1] == b[1], f"cdx differs fused-vs-unfused ({bloom_kw})"
+        assert a[2] == b[2], f"frontier differs fused-vs-unfused ({bloom_kw})"
+        assert a[3] == b[3], f"metrics differ fused-vs-unfused ({bloom_kw})"
+
+
+def test_checkpoint_blocks_actually_freed(spark, world):
+    """Dataset.unpersist() is a no-op for localCheckpoint blocks on Spark
+    4.1.2; the loop must free them via util.free_checkpoint or the block
+    store grows monotonically.  Bound what survives a 3-generation crawl:
+    per generation only parsed (backs the returned cdx) and the seen-part
+    handle may remain, plus the live frontier and bloom state."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    pages, seeds, robots = world
+    before = n_persisted()
+    cfg = CrawlConfig(per_host_budget=2, global_batch=200, use_bloom=True,
+                      bloom_min_keys=1)
+    gens = 3
+    run_crawl(spark, pages, seeds, robots, cfg, gens)
+    survivors = n_persisted() - before
+    # fused path: init frontier + per gen (parsed + frontier snapshot);
+    # anything above that means scratch (selected / bloom-flagged) leaked
+    assert survivors <= 2 * gens + 2, \
+        f"{survivors} persisted RDDs survive a {gens}-gen crawl"
+
+
+def test_free_checkpoint_frees_blocks(spark):
+    """unpersist() alone leaves localCheckpoint blocks cached (the Spark
+    behavior free_checkpoint exists to work around); free_checkpoint
+    removes them immediately."""
+    from cdx_writer_spark.util import free_checkpoint
+    sc = spark.sparkContext
+
+    def ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = ids()
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS x") \
+        .localCheckpoint(eager=True)
+    new = ids() - before
+    assert new, "localCheckpoint should persist blocks"
+    df.unpersist(True)
+    assert new <= ids(), "documented no-op: unpersist leaves ckpt blocks"
+    free_checkpoint(df)
+    assert not (new & ids()), "free_checkpoint must drop the blocks"
+
+
+def test_mixed_legacy_then_delta_checkpoint_load(spark, tmp_path):
+    """Resuming a legacy (full-snapshot) dir and appending delta-v2
+    generations must not union the legacy snapshots as if they were
+    deltas: each generation's own manifest decides, and the newest
+    non-delta generation supersedes everything before it."""
+    import json as jsonmod
+    import os
+    from cdx_writer_spark.frontier.crawl import load_state
+
+    root = str(tmp_path / "mixed")
+
+    def write_gen(gen, keys_df, fmt):
+        d = os.path.join(root, f"gen={gen:05d}")
+        keys_df.write.parquet(os.path.join(d, "seen"))
+        keys_df.limit(5).selectExpr(
+            "urlkey", "urlkey AS url", "'h' AS host", "1.0 AS priority",
+            f"{gen} AS generation").write.parquet(os.path.join(d, "frontier"))
+        spark.createDataFrame([("k0", gen)], ["urlkey", "generation"]) \
+            .write.parquet(os.path.join(d, "cdx"))
+        mf = {"complete": True, "generation": gen}
+        if fmt:
+            mf["seen_format"] = fmt
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            jsonmod.dump(mf, f)
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    # legacy gens 0-1: FULL snapshots (gen1 = all 100 keys)
+    write_gen(0, keys.limit(60), None)
+    write_gen(1, keys, None)
+    # delta-v2 gens 2-3: disjoint novel deltas of 10 each
+    d2 = spark.range(100, 110).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    d3 = spark.range(110, 120).select(
+        F.concat(F.lit("k"), F.col("id")).alias("urlkey"))
+    write_gen(2, d2, "delta-v2")
+    write_gen(3, d3, "delta-v2")
+    gen, _fr, seen, _m = load_state(spark, root)
+    assert gen == 3
+    assert seen.count() == 120, \
+        "latest legacy snapshot + later deltas, no k-fold duplication"
+    assert seen.distinct().count() == 120
