@@ -27,6 +27,10 @@ def main(argv=None):
                    help="path prefix for the warc name in the 'g' field")
     p.add_argument("--all-records", action="store_true",
                    help="index all record types, not just http responses")
+    p.add_argument("--screenshot-mode", action="store_true",
+                   help="index screenshot WARCs: keep only metadata "
+                        "records and prefix urls with the screenshot "
+                        "namespace (reference cdx_writer.py:733)")
     p.add_argument("--exclude-list", default=None,
                    help="file of url prefixes to exclude")
     p.add_argument("--stats-file", default=None,
@@ -77,6 +81,7 @@ def main(argv=None):
     obs_all = Observation()
     records = records.observe(obs_all, F.count(F.lit(1)).alias("n"))
     fields = cdx_fields(records, all_records=args.all_records,
+                        screenshot_mode=args.screenshot_mode,
                         excludes=excludes, keep_excluded_flag=True)
     if args.file_prefix:
         fields = fields.withColumn(

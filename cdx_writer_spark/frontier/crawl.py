@@ -50,17 +50,37 @@ class CrawlConfig:
     priority_decay: float = 0.8
     bloom_fpp: float = 0.01
     use_bloom: bool = True
-    bloom_min_keys: int = 200_000   # below this the exact join is cheaper
+    # below this many seen keys the exact anti-join beats the filter: a
+    # sub-1M-key join is sub-second and parallel, while the bloom costs a
+    # build + driver OR + broadcast per rebuild (~0.8s of core-count-
+    # independent time, measured) — pure Amdahl term until the seen set
+    # is big enough that cutting the anti-join's probe shuffle pays
+    bloom_min_keys: int = 1_000_000
+    # broadcast the selected batch into the fetch/leftover joins only up
+    # to this size; beyond it the driver collect+rebroadcast is a
+    # measured ~1.5s/generation of serial time (and at 10^8-row
+    # production batches would be GBs) — use a shuffle join instead.
+    # (On a real deployment the frontier/pages tables are bucketed by
+    # key — Iceberg storage-partitioned joins — so the shuffle is
+    # one-sided or free; plans/layout.py carries that design.)
+    broadcast_batch_max_rows: int = 200_000
     # 0 = driver-global broadcast bloom (fine to ~10^8 keys); > 0 = the
     # sharded (shard, bitmap)-table bloom from frontier/seen.py whose
     # driver memory is O(1) in the key count — the 10^10 deployment.
     bloom_shards: int = 0
+    # with bloom_shards == 0, the crawl AUTO-FLIPS to the sharded bloom
+    # (shard count sized from capacity) once the seen set crosses this —
+    # no operator knowledge needed for the 10^10 path; the flip happens
+    # as an ordinary rebuild, so parity with the exact join is unchanged
+    bloom_auto_shard_keys: int = 200_000_000
     # skip the salted pre-top-k (schedule phase 0) while the frontier is
-    # below this many rows: the skew it guards against needs a hot host
-    # with >> budget rows, and the extra window shuffle is pure fixed
-    # cost per generation until then.  Size comes free from the
-    # observe() metric on the frontier's checkpoint materialization.
-    salt_phase_min_rows: int = 200_000
+    # below this many rows: the skew it guards against needs ONE host
+    # with enough rows to overwhelm a single reducer's sort (~10^7), and
+    # under a Zipf host law the hottest host carries a few percent of
+    # the frontier — so below ~2x10^7 frontier rows the extra window
+    # shuffle is pure fixed cost per generation.  Size comes free from
+    # the observe() metric on the frontier's checkpoint materialization.
+    salt_phase_min_rows: int = 20_000_000
     # global mode: novel keys accumulate in a small exact side table and
     # the bitmap is re-OR-ed + re-broadcast only when they exceed this,
     # so broadcast serialization is amortized instead of per-generation
@@ -164,6 +184,12 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig,
     w1 = Window.partitionBy("host").orderBy(F.desc("priority"), "urlkey")
     polite = (pre.withColumn("rn", F.row_number().over(w1))
               .filter(F.col("rn") <= cfg.per_host_budget).drop("rn"))
+    if frontier_size is not None and frontier_size <= cfg.global_batch:
+        # the whole frontier fits in the batch: every polite row is
+        # selected, so the global top-k (a full sort + extra
+        # materialization, zero-scaling at sandbox size) is a no-op —
+        # skip it.  Typical of the ramp-up generations of a crawl.
+        return polite
     if cfg.global_batch <= 150_000:
         # TakeOrderedAndProject: k-per-partition heaps + driver merge.
         # Profiling at 400k-row frontiers showed this beats the exact
@@ -250,10 +276,17 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=not fused))
 
-    # fetch: the batch is bounded by global_batch — broadcast it against
-    # the (arbitrarily large) web so the pages table never shuffles
+    # fetch: small batches broadcast against the (arbitrarily large) web
+    # so the pages table never shuffles; big batches pay a shuffle join
+    # instead — the driver collect + rebroadcast of a 10^5+-row batch is
+    # measured serial time every generation, and at production batch
+    # sizes would be GBs through one process.  (Deployed, pages and
+    # frontier are bucketed on their keys so this join is
+    # storage-partitioned; see plans/layout.py.)
+    small_batch = cfg.global_batch <= cfg.broadcast_batch_max_rows
+    sel_fetch = F.broadcast(selected) if small_batch else selected
     fetched = (pages.select("url", "warc_ts", "html")
-               .join(F.broadcast(selected), "url", "inner"))
+               .join(sel_fetch, "url", "inner"))
     # parse once, checkpoint a SLIM projection (digest + outlinks, never the
     # raw html) — both the CDX emission and the discovery stage read it, so
     # the web table is scanned exactly once per generation
@@ -313,10 +346,13 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         # construction, so the union below needs no dedup shuffle)
         new_seen_keys = new_entries.select("urlkey")
 
-    # selected is bounded by global_batch — broadcast it so the (much
-    # larger) frontier never shuffles for this anti-join
-    leftover = frontier.join(F.broadcast(selected.select("urlkey")),
-                             "urlkey", "left_anti")
+    # selected is bounded by global_batch — broadcast when small so the
+    # (much larger) frontier never shuffles for this anti-join; same
+    # size gate as the fetch join above
+    sel_keys = selected.select("urlkey")
+    leftover = frontier.join(
+        F.broadcast(sel_keys) if small_batch else sel_keys,
+        "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
 
     # parsed's eager localCheckpoint already ran its job; this get
@@ -474,7 +510,6 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     seen_handles: list = [init_handle]
 
     sc = spark.sparkContext
-    use_sharded = cfg.bloom_shards > 0
     if not cfg.use_bloom:
         seen_count = 0
     elif start_gen == 0:
@@ -497,13 +532,20 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # frontier size is unknown (resume) or at production scale.
         fused = (frontier_size is not None
                  and frontier_size < cfg.fuse_below_rows)
+        want_sharded = cfg.bloom_shards > 0 or (
+            cfg.use_bloom and seen_count >= cfg.bloom_auto_shard_keys)
+        mode_flip = (bloom is not None
+                     and want_sharded != isinstance(bloom, ShardedBloom))
         if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
-                bloom is None or seen_count > bloom_cap):
+                bloom is None or seen_count > bloom_cap or mode_flip):
             # (re)build over the full set with headroom so later generations
             # only fold in their deltas
             bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
-            if use_sharded:
-                sb = build_sharded_bloom(seen, "urlkey", cfg.bloom_shards,
+            if want_sharded:
+                # auto-sized shards: ~16M keys (~20 MB bitmap) per shard
+                n_shards = cfg.bloom_shards or max(
+                    16, -(-bloom_cap // 16_000_000))
+                sb = build_sharded_bloom(seen, "urlkey", n_shards,
                                          capacity=bloom_cap,
                                          fpp=cfg.bloom_fpp)
                 old_bloom_df = bloom.df if isinstance(bloom, ShardedBloom) \
@@ -512,6 +554,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                                      sb.n_shards, sb.m, sb.k)
                 if old_bloom_df is not None:
                     free_checkpoint(old_bloom_df)
+                if bloom_bc is not None:
+                    # released the superseded GLOBAL filter (auto-flip)
+                    bloom_bc.unpersist()
+                    bloom_bc, bloom_bits, bloom_mk = None, None, None
             else:
                 b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
                                       fpp=cfg.bloom_fpp)
@@ -522,6 +568,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 bloom_bc = sc.broadcast(bloom_bits.tobytes())
                 bloom = (bloom_bc, m, k)
             recent_parts, pending_novel = [], 0
+        use_sharded = isinstance(bloom, ShardedBloom)
 
         recent = _union_all(recent_parts) if recent_parts else None
         prev_frontier_handle = frontier   # current gen's persisted frontier
@@ -574,8 +621,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             seen_count += novel
             if bloom is not None and novel:
                 if use_sharded:
+                    # geometry from the LIVE filter (cfg.bloom_shards is 0
+                    # when the sharded mode was auto-selected)
                     delta = build_sharded_bloom(
-                        new_seen, "urlkey", cfg.bloom_shards, capacity=1,
+                        new_seen, "urlkey", bloom.n_shards, capacity=1,
                         m=bloom.m, k=bloom.k)
                     merged = merge_sharded_blooms(bloom, delta)
                     old_bloom_df = bloom.df

@@ -32,9 +32,32 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["prefix_free"]
 
 
+SMALL_LIST_ROWS = 50_000
+
+
 def prefix_free(urls: DataFrame, col: str = "url") -> DataFrame:
-    """The prefix-free subset of a url-prefix table (one string column)."""
+    """The prefix-free subset of a url-prefix table (one string column).
+
+    Small lists (reference-scale exclude files, below SMALL_LIST_ROWS
+    after dedup) skip the distributed machinery: one single-partition
+    ordered scan, no checkpoints, no boundary-carry collect — the
+    distributed path's 3 fixed Spark jobs otherwise dominate sub-second
+    inputs."""
     d = urls.select(col).distinct()
+    n = d.count()
+    if n < SMALL_LIST_ROWS:
+        def scan_one(batches):
+            last = None
+            for pdf in batches:
+                keep = []
+                for u in pdf[col]:
+                    if last is None or not u.startswith(last):
+                        keep.append(u)
+                        last = u
+                yield pd.DataFrame({col: keep})
+
+        return (d.coalesce(1).sortWithinPartitions(col)
+                .mapInPandas(scan_one, f"`{col}` string"))
     ranged = (d.repartitionByRange(F.col(col))
               .sortWithinPartitions(col)
               .localCheckpoint(eager=True))

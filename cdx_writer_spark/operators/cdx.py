@@ -51,6 +51,11 @@ _PY_FIELDS_SCHEMA = T.StructType([
 _ALPHA32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
 META_PARSE_LIMIT = 5 * 1024 * 1024
 
+# DataFrame exclude lists above this row count leave the broadcast
+# nested-loop prefix join (O(records x prefixes) compute) for the
+# range-partitioned ordered merge in operators/exclude.py
+BNLJ_MAX_PREFIXES = 1000
+
 
 def _b32_of_sha1_hex(hex_col: Column) -> Column:
     """base32(unhex(sha1_hex)) as pure Column arithmetic: 160 bits = eight
@@ -429,7 +434,20 @@ def cdx_fields(records: DataFrame, *, all_records: bool = False,
 
     if excludes is not None:
         if isinstance(excludes, DataFrame):
-            # big exclude lists: broadcast LEFT ANTI prefix join (F3)
+            n_pfx = excludes.count()
+            if n_pfx > BNLJ_MAX_PREFIXES:
+                # big lists (full archive banlists, 10^5-10^6 prefixes):
+                # any nested-loop shape is O(records x prefixes) compute —
+                # use the range-partitioned ordered merge instead
+                # (operators/exclude.py): one shuffle, no per-prefix work
+                # per record
+                from .exclude import prefix_exclude_flag
+                df = prefix_exclude_flag(df, excludes, key="urlkey")
+                if not keep_excluded_flag:
+                    df = df.filter(~F.col("excluded")).drop("excluded")
+                return df
+            # moderate lists: broadcast LEFT ANTI prefix join (F3) — no
+            # shuffle of the records, O(n_pfx) per record stays cheap
             cond = F.expr("startswith(urlkey, prefix)")
             if keep_excluded_flag:
                 hit = (excludes.withColumnRenamed("prefix", "_pfx")

@@ -1,0 +1,127 @@
+"""Scale-safe exclude-list filtering (F3, reference cdx_writer.py:625-633).
+
+The reference checks each urlkey against every exclude prefix in a
+per-record loop — fine for its 10^2-10^4-line lists.  Against a full
+archive banlist (10^6+ prefixes, the clean_the_banlist.py use case) any
+all-pairs shape — including Spark's broadcast nested-loop join — is
+O(records x prefixes) compute, a scale-killer.  This module gives the
+O((records + prefixes) log) alternative promised in SURVEY.md §2.3:
+
+1. make the prefix list PREFIX-FREE (operators/banlist.py — a shorter
+   ban subsumes every longer one), which guarantees that for any urlkey
+   ``u`` the largest prefix ``p <= u`` in lexicographic order is THE
+   only candidate match: every list element in ``(p, u]`` would have to
+   start with ``p`` and so cannot coexist with it in a prefix-free set;
+2. range-partition the union of urlkeys and prefixes on ONE shared set
+   of bounds (tagged rows through a single repartitionByRange), sort
+   within partitions with prefixes before identical urlkeys, and decide
+   every record in one forward merge scan per partition — vectorized
+   over runs of records sharing the same governing prefix;
+3. fix the partition boundary exactly like banlist.py: the driver sees
+   ONE string per partition (its last prefix), from which each
+   partition's carry-in prefix follows sequentially.
+
+Cost at scale: one range shuffle of the records (the only data-sized
+move — there is no join, no per-prefix work per record), a shuffle of
+the prefixes riding along, and partition-count metadata at the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["prefix_exclude_flag", "prefix_exclude_anti"]
+
+_K, _TAG = "_xk", "_is_prefix"
+
+
+def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
+                        key: str = "urlkey",
+                        flag_col: str = "excluded") -> DataFrame:
+    """Adds boolean ``flag_col``: True iff ``key`` starts with any prefix.
+
+    ``prefixes`` is a one-column DataFrame (column ``prefix``).  Exact for
+    arbitrary lists (subsumed prefixes are collapsed internally)."""
+    from .banlist import prefix_free
+    spark = records.sparkSession
+    pf = prefix_free(prefixes.withColumnRenamed(prefixes.columns[0], "url"))
+
+    cols = records.columns
+    tagged_r = records.withColumn(_K, F.col(key)).withColumn(
+        _TAG, F.lit(False))
+    tagged_p = pf.select(F.col("url").alias(_K), F.lit(True).alias(_TAG))
+    u = tagged_r.unionByName(tagged_p, allowMissingColumns=True)
+
+    # one shared range partitioning for both sides; within a partition
+    # prefixes sort BEFORE an identical urlkey (a prefix equal to the key
+    # matches it), giving the merge scan its invariant: when a record row
+    # is reached, the last prefix row seen is the largest prefix <= key
+    ranged = (u.repartitionByRange(F.col(_K))
+              .sortWithinPartitions(F.asc(_K), F.desc(_TAG))
+              .localCheckpoint(eager=True))
+
+    # partition-count metadata only: each partition's last (max) prefix
+    lasts = {r["pid"]: r["last_p"] for r in
+             (ranged.groupBy(F.spark_partition_id().alias("pid"))
+              .agg(F.max(F.when(F.col(_TAG), F.col(_K))).alias("last_p"))
+              .collect())}
+    carry_in: dict[int, str] = {}
+    carry = None
+    for pid in sorted(lasts):
+        if carry is not None:
+            carry_in[pid] = carry
+        if lasts[pid] is not None:
+            carry = lasts[pid]
+    bc = spark.sparkContext.broadcast(carry_in)
+
+    schema_df = records.withColumn(flag_col, F.lit(False))
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in schema_df.dtypes)
+
+    def scan(batches):
+        from pyspark import TaskContext
+        last = bc.value.get(TaskContext.get().partitionId())
+        for pdf in batches:
+            keys = pdf[_K]
+            is_p = pdf[_TAG]
+            # governing prefix per row = forward-fill of prefix rows over
+            # the sorted batch, seeded with the carry-in
+            gov = keys.where(is_p).reindex(pdf.index).ffill()
+            if last is not None:
+                gov = gov.fillna(last)
+            if is_p.any():
+                last_here = keys[is_p].iloc[-1]
+                last = last_here
+            rec = pdf[~is_p]
+            if rec.empty:
+                continue
+            g = gov[~is_p]
+            flags = pd.Series(False, index=rec.index)
+            # runs of consecutive records share one governing prefix —
+            # vectorized startswith per run
+            run_id = (g != g.shift()).cumsum()
+            for _, idx in g.groupby(run_id, sort=False).groups.items():
+                p = g.loc[idx[0]]
+                if isinstance(p, str):
+                    flags.loc[idx] = rec.loc[idx, _K].str.startswith(p)
+            out = rec[cols].copy()
+            out[flag_col] = flags.to_numpy()
+            yield out
+
+    flagged = ranged.mapInPandas(scan, out_schema)
+    # the ranged checkpoint backs the returned lineage; hand it to the
+    # caller for freeing is overkill here — it is one generation of
+    # scratch in a batch job, freed with the session.  (Callers running
+    # this inside a loop should materialize the result and call
+    # util.free_checkpoint(ranged); exposed for that via attribute.)
+    flagged._prefix_exclude_scratch = ranged
+    return flagged
+
+
+def prefix_exclude_anti(records: DataFrame, prefixes: DataFrame,
+                        key: str = "urlkey") -> DataFrame:
+    """records minus every row whose ``key`` starts with any prefix."""
+    flagged = prefix_exclude_flag(records, prefixes, key=key)
+    out = flagged.filter(~F.col("excluded")).drop("excluded")
+    out._prefix_exclude_scratch = flagged._prefix_exclude_scratch
+    return out

@@ -51,9 +51,17 @@ def kmeans_lite(emb: DataFrame, n_cells: int, iters: int = 3,
                 id_col: str = "vec_id") -> DataFrame:
     """Deterministic centroids via DataFrame-only Lloyd iterations:
     init = hash-sampled rows; update = elementwise mean via posexplode."""
-    init = (emb.withColumn("_r", F.xxhash64(F.col(vec_col).cast("string"),
-                                            F.lit(seed)))
-            .orderBy("_r").limit(n_cells)
+    hashed = emb.withColumn("_r", F.xxhash64(F.col(vec_col).cast("string"),
+                                             F.lit(seed)))
+    # hash-threshold pre-sample: don't order 10^10 rows for a handful of
+    # centroids — ~1/8192 of rows pass the filter and only THAT sample is
+    # ordered.  Deterministic (pure function of the data); small tables
+    # where the sample can't fill n_cells fall back to the full scan, so
+    # behavior at test scale is unchanged.
+    sample = hashed.filter(F.pmod(F.col("_r"), F.lit(8192)) == 0)
+    if sample.limit(n_cells).count() < n_cells:
+        sample = hashed
+    init = (sample.orderBy("_r").limit(n_cells)
             .select("_r", F.col(vec_col).alias("centroid")))
     cents = init.select(
         F.row_number().over(Window.orderBy("_r")).alias("cell"), "centroid")

@@ -206,6 +206,50 @@ WHERE NOT EXISTS (SELECT 1 FROM prefixes WHERE starts_with(p_name, pfx))
 """
 
 
+def prefix_exclude_big(spark, sf):
+    """F3 at archive-banlist scale (reference clean_the_banlist.py use
+    case): ~10^5 prefixes at sf0.1, far beyond any nested-loop join —
+    runs the range-partitioned ordered prefix merge
+    (operators/exclude.py).  Urlkeys are synthesized from lineitem; the
+    ban list mixes long per-(part,order) prefixes with short per-part
+    prefixes that subsume them.  The construction terminates every
+    prefix with '/', which makes string-prefix semantics coincide with
+    the key predicates the DuckDB oracle states arithmetically — the
+    Spark side still runs the real merge-scan, so a carry/boundary bug
+    changes the counts."""
+    from ..operators.exclude import prefix_exclude_anti
+    li = _t(spark, sf, "lineitem")
+    urls = li.select(
+        F.concat(F.lit("com,p"), F.col("l_partkey"), F.lit(")/x/"),
+                 F.col("l_orderkey"), F.lit("/"),
+                 F.col("l_linenumber")).alias("urlkey"),
+        "l_returnflag", "l_extendedprice")
+    long_p = (li.filter(F.col("l_orderkey") % 7 == 0)
+              .select(F.concat(F.lit("com,p"), F.col("l_partkey"),
+                               F.lit(")/x/"), F.col("l_orderkey"),
+                               F.lit("/")).alias("prefix")))
+    p = _t(spark, sf, "part")
+    short_p = (p.filter(F.col("p_partkey") % 100 == 0)
+               .select(F.concat(F.lit("com,p"), F.col("p_partkey"),
+                                F.lit(")/x/")).alias("prefix")))
+    prefixes = long_p.unionByName(short_p)
+    kept = prefix_exclude_anti(urls, prefixes, key="urlkey")
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count("*").alias("kept"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("kept_price"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_PREFIX_EXCLUDE_BIG = """
+SELECT l_returnflag, count(*) AS kept,
+       round(sum(l_extendedprice), 2) AS kept_price
+FROM lineitem
+WHERE NOT (l_orderkey % 7 = 0 OR l_partkey % 100 = 0)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def filter_stats(spark, sf):
     """A1 stats counters (cdx_writer.py:648-652): processed / included /
     filtered in one aggregate pass."""
@@ -762,6 +806,7 @@ QUERIES = {
     "politeness_topk": politeness_topk,
     "running_offset": running_offset,
     "prefix_exclude": prefix_exclude,
+    "prefix_exclude_big": prefix_exclude_big,
     "filter_stats": filter_stats,
     "seen_anti_join": seen_anti_join,
     "union_dedup": union_dedup,
@@ -788,6 +833,7 @@ ORACLES = {
     "politeness_topk": ORACLE_POLITENESS,
     "running_offset": ORACLE_RUNNING_OFFSET,
     "prefix_exclude": ORACLE_PREFIX_EXCLUDE,
+    "prefix_exclude_big": ORACLE_PREFIX_EXCLUDE_BIG,
     "filter_stats": ORACLE_FILTER_STATS,
     "seen_anti_join": ORACLE_SEEN_ANTI,
     "union_dedup": ORACLE_UNION_DEDUP,

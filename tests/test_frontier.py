@@ -322,3 +322,25 @@ def test_mixed_legacy_then_delta_checkpoint_load(spark, tmp_path):
     assert seen.count() == 120, \
         "latest legacy snapshot + later deltas, no k-fold duplication"
     assert seen.distinct().count() == 120
+
+
+def test_bloom_auto_shards_mid_run(spark, world):
+    """With bloom_shards=0 the crawl auto-flips from the global broadcast
+    bloom to the sharded (shard,bitmap) table once the seen set crosses
+    bloom_auto_shard_keys — config-free 10^10 path.  Crossing mid-run
+    must not change any result (the flip is just a rebuild)."""
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+    cfg_exact = CrawlConfig(use_bloom=False, **base)
+    # threshold sits between gen-0 seen (~20 seeds + first novelties) and
+    # the final seen count, so the run starts global and flips sharded
+    cfg_auto = CrawlConfig(use_bloom=True, bloom_min_keys=1,
+                           bloom_auto_shard_keys=200, **base)
+
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()))
+    e, a = run(cfg_exact), run(cfg_auto)
+    assert e[0] == a[0], "seen differs after auto-shard flip"
+    assert e[1] == a[1], "cdx differs after auto-shard flip"

@@ -182,3 +182,87 @@ def test_banlist_prefix_free_matches_reference_algorithm(spark):
     tdf = spark.createDataFrame([(u,) for u in tiny], ["url"])
     tg = sorted(r["url"] for r in prefix_free(tdf).collect())
     assert tg == ["a", "b", "c"]
+
+
+def test_banlist_prefix_free_distributed_path(spark, monkeypatch):
+    """The range-partitioned path (big lists) must equal the
+    single-partition fast path on the same input — force it by dropping
+    the small-list threshold to zero."""
+    from cdx_writer_spark.operators import banlist
+    import random
+    rng = random.Random(11)
+    urls = set()
+    for i in range(1500):
+        base = f"http://x{rng.randrange(200)}.org/{rng.randrange(40)}"
+        urls.add(base)
+        if rng.random() < 0.4:
+            urls.add(base + f"/deep{rng.randrange(5)}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    small = sorted(r["url"] for r in banlist.prefix_free(df).collect())
+    monkeypatch.setattr(banlist, "SMALL_LIST_ROWS", 0)
+    big = sorted(r["url"] for r in banlist.prefix_free(df).collect())
+    assert small == big
+
+
+def test_prefix_exclude_merge_matches_brute_force(spark):
+    """The range-partitioned ordered prefix merge (operators/exclude.py)
+    == per-row any(startswith) brute force, on adversarial inputs:
+    prefix == key, prefix chains (subsumption), keys straddling range
+    partition boundaries, prefixes with no matches."""
+    from cdx_writer_spark.operators.exclude import (prefix_exclude_anti,
+                                                    prefix_exclude_flag)
+    import random
+    rng = random.Random(23)
+    keys = set()
+    for i in range(4000):
+        k = f"com,h{rng.randrange(400)})/p{rng.randrange(30)}"
+        keys.add(k)
+        if rng.random() < 0.5:
+            keys.add(k + f"/q{rng.randrange(9)}")
+    prefixes = set()
+    for k in rng.sample(sorted(keys), 300):
+        r = rng.random()
+        if r < 0.3:
+            prefixes.add(k)                   # exact == key
+        elif r < 0.6:
+            prefixes.add(k + "/zz")           # matches nothing
+        else:
+            prefixes.add(k[:rng.randrange(8, len(k) + 1)])
+    # planted chain: short prefix subsumes a longer one
+    prefixes.update({"com,h1)", "com,h1)/p1/q"})
+
+    expected = sorted(k for k in keys
+                      if not any(k.startswith(p) for p in prefixes))
+
+    rdf = spark.createDataFrame([(k, len(k)) for k in keys],
+                                ["urlkey", "klen"]).repartition(7)
+    pdf = spark.createDataFrame([(p,) for p in prefixes], ["prefix"])
+    got = sorted(r["urlkey"] for r in
+                 prefix_exclude_anti(rdf, pdf, key="urlkey").collect())
+    assert got == expected
+
+    flagged = prefix_exclude_flag(rdf, pdf, key="urlkey")
+    n_excl = flagged.filter("excluded").count()
+    assert n_excl == len(keys) - len(expected)
+    # payload columns survive the merge untouched
+    bad = flagged.filter(F.col("klen") != F.length("urlkey")).count()
+    assert bad == 0
+
+
+def test_cdx_fields_big_exclude_equals_bnlj(spark, monkeypatch):
+    """cdx_fields must produce identical rows whichever exclude engine the
+    list size selects (broadcast nested-loop vs ordered merge)."""
+    from cdx_writer_spark.operators import cdx as cdx_mod
+    from cdx_writer_spark.operators.cdx import cdx_fields
+    from cdx_writer_spark.sources.warc import read_warc_records
+    recs = read_warc_records(spark, "/root/reference/tests/uncompressed.arc")
+    prefixes = spark.createDataFrame(
+        [("de,sueddeutsche)",), ("com,nomatch)",)], ["prefix"])
+    a = sorted(r["urlkey"] for r in
+               cdx_fields(recs, all_records=True,
+                          excludes=prefixes).collect())
+    monkeypatch.setattr(cdx_mod, "BNLJ_MAX_PREFIXES", 0)
+    b = sorted(r["urlkey"] for r in
+               cdx_fields(recs, all_records=True,
+                          excludes=prefixes).collect())
+    assert a == b and len(a) == 3

@@ -62,3 +62,15 @@ def test_spark_screenshot_mode_matches_kernel(spark, tmp_path):
     out = cdx_lines(cdx_fields(recs, screenshot_mode=True), sort=True)
     got = [r["cdx_line"] for r in out.collect()]
     assert got == [EXPECTED_LINE]
+
+
+def test_cli_screenshot_mode(tmp_path, capsys, monkeypatch):
+    """--screenshot-mode end-to-end through the CLI (reference
+    cdx_writer.py:733): same line the kernel and operator paths pin."""
+    from cdx_writer_spark import cli
+    path = tmp_path / "screen.warc.gz"
+    path.write_bytes(WARC_BYTES)
+    cli.main(["--screenshot-mode", "--sort", str(path)])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == " CDX N b a m s k r M S V g"
+    assert out[1:] == [EXPECTED_LINE]

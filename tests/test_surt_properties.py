@@ -1,0 +1,111 @@
+"""Property-based fuzz over the SURT kernel, complementing the 37-case
+golden corpus (tests/test_surt.py): invariants that must hold for ANY
+input, derived from the documented IA canonicalizer rules the kernel
+implements (kernels/surt.py module docstring).  Pure-Python — no Spark.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdx_writer_spark.kernels.surt import SurtError, host_of, surt
+
+label = st.text(alphabet=string.ascii_letters + string.digits + "-",
+                min_size=1, max_size=8).filter(
+                    lambda s: not s.startswith("-") and not s.endswith("-"))
+hosts = st.lists(label, min_size=2, max_size=4).map(".".join)
+paths = st.text(alphabet=string.ascii_letters + string.digits + "/._-~",
+                max_size=30)
+queries = st.lists(
+    st.tuples(st.text(string.ascii_lowercase, min_size=1, max_size=5),
+              st.text(string.ascii_letters + string.digits, max_size=6)),
+    max_size=4).map(lambda kv: "&".join(f"{k}={v}" for k, v in kv))
+
+
+def _url(host, path, query=""):
+    u = f"http://{host}/{path}"
+    return u + ("?" + query if query else "")
+
+
+@settings(max_examples=300, deadline=None)
+@given(hosts, paths, queries)
+def test_surt_total_and_deterministic(host, path, query):
+    """surt() either canonicalizes or raises SurtError — never another
+    exception — and is a pure function."""
+    u = _url(host, path, query)
+    try:
+        a = surt(u)
+    except SurtError:
+        return
+    assert a == surt(u)
+    assert isinstance(a, str)
+    # host labels are reversed and comma-joined before the ')'
+    assert ")" in a
+
+
+@settings(max_examples=300, deadline=None)
+@given(hosts, paths, queries)
+def test_surt_scheme_host_case_and_port_insensitive(host, path, query):
+    """Scheme and host are case-insensitive; :80 is the http default."""
+    u = _url(host, path, query)
+    try:
+        a = surt(u)
+    except SurtError:
+        return
+    assert surt(f"HTTP://{host.upper()}/{path}"
+                + ("?" + query if query else "")) == a
+    assert surt(f"http://{host}:80/{path}"
+                + ("?" + query if query else "")) == a
+
+
+@settings(max_examples=300, deadline=None)
+@given(hosts, paths)
+def test_surt_www_stripped(host, path):
+    """A leading www[digit]. label is dropped (IA rule) unless the host is
+    only www.tld."""
+    if host.split(".")[0].lower().startswith("www"):
+        return
+    try:
+        a, b = surt(f"http://www.{host}/{path}"), surt(f"http://{host}/{path}")
+    except SurtError:
+        return
+    assert a == b
+
+
+@settings(max_examples=300, deadline=None)
+@given(hosts, paths, queries)
+def test_surt_idempotent_on_roundtrip_url(host, path, query):
+    """Reconstructing a URL from the canonical host+path and re-surting
+    yields the same key: canonicalization is a projection (f(f(x))=f(x))."""
+    u = _url(host, path, query)
+    try:
+        k1 = surt(u)
+        h = host_of(u)
+    except SurtError:
+        return
+    tail = k1.split(")", 1)[1]
+    u2 = f"http://{h}{tail}"
+    try:
+        k2 = surt(u2)
+    except SurtError:
+        return
+    assert k2 == k1, f"not idempotent: {u!r} -> {k1!r} -> {k2!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(hosts, paths, queries)
+def test_host_of_consistent_with_surt(host, path, query):
+    """host_of agrees with the surt key's reversed host labels."""
+    u = _url(host, path, query)
+    try:
+        k, h = surt(u), host_of(u)
+    except SurtError:
+        return
+    rev = ",".join(reversed(h.split(".")))
+    # IP(-like) hosts keep dotted order (IA rule: no label reversal for
+    # addresses, incl. hex/octal octet forms the canonicalizer resolves);
+    # everything else reverses labels with commas
+    assert (k.startswith(rev + ")") or k.startswith(rev + ":")
+            or k.startswith(h + ")") or k.startswith(h + ":")), \
+        f"surt key {k!r} matches neither reversed nor literal host {h!r}"
