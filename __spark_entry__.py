@@ -79,7 +79,10 @@ FROM documents ORDER BY doc_id
 def crawl_frontier_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three crawl generations over a deterministic synthetic web (Zipf
     hosts, robots, politeness, bloom-backed seen set) -> emitted CDX rows.
-    Rows-only check: frontier semantics are not ANSI-SQL-expressible."""
+    Rows-only check here (frontier semantics are not ANSI-SQL-
+    expressible); VALUE-checked in tests/test_crawl_simulator.py, which
+    pins the exact CDX rows, seen set and final frontier of this same
+    configuration against an independent single-process simulator."""
     from cdx_writer_spark.frontier.crawl import CrawlConfig, run_crawl
     from cdx_writer_spark.sources.synth import (synth_pages, synth_robots,
                                                 synth_seeds)

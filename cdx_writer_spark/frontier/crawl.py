@@ -258,8 +258,9 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     the first job that touches it materializes+persists it in-line and
     later consumers (including a second union branch of the SAME job)
     read the persisted blocks, verified compute-once on Spark 4.1.2.
-    The seen delta is not checkpointed at all: run_crawl derives it
-    from the checkpointed next frontier (generation == gen+1).  The
+    The seen delta has no job of its own either: run_crawl derives it
+    from the checkpointed next frontier (generation == gen+1) as a lazy
+    checkpoint materialized by its first consumer.  The
     4-5-job layout cost ~12s/generation of core-count-independent
     scheduler/stage-launch latency at sandbox scale (BENCH.md workload
     2b) — the Amdahl term behind the crawl loop's 0.26 measured scaling.
@@ -499,8 +500,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     .observe(obs0, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
         frontier_size = int(obs0.get["n"])
-        seen = frontier.select("urlkey")
-        init_handle = frontier
+        # compact lazy delta (see the fused seen-delta note below): the
+        # seed keys materialize on first use, and the init frontier
+        # snapshot is freed after generation 0 instead of being pinned
+        # by this seen part until compaction
+        seen = frontier.select("urlkey").localCheckpoint(eager=False)
+        init_handle = seen
     seen_parts = [seen]
     # persisted frames backing seen_parts (None for resume's parquet read).
     # In fused generations the handle IS the generation's full frontier
@@ -599,10 +604,17 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             metrics["novel"] = int(vals["novel"] or 0)
             # the seen delta: this generation's novel entries, read off the
             # frontier snapshot (they are exactly the generation==gen+1
-            # rows) — no dedicated delta checkpoint
+            # rows), as a LAZY checkpoint — its first consumer (the next
+            # generation's anti-join, or this generation's checkpoint
+            # write / bloom delta) materializes the compact key list
+            # in-line, after which the seen chain reads these small
+            # blocks instead of re-filtering every retained full-frontier
+            # snapshot per generation (measured ~2x on the 3-generation
+            # loop), and the superseded frontier snapshot is freed on
+            # schedule instead of being pinned by its seen part
             new_seen = (frontier.where(F.col("generation") == gen + 1)
-                        .select("urlkey"))
-            delta_handle = frontier
+                        .select("urlkey").localCheckpoint(eager=False))
+            delta_handle = new_seen
         seen_parts.append(new_seen)
         seen_handles.append(delta_handle)
         compact_old: list | None = None

@@ -301,9 +301,15 @@ The per-row data plane (workload 1) is the scaling signal.
 ## Scale notes
 
 - Only shuffles in the crawl loop: politeness groupBy(host) +
-  priority top-k; host skew killed by salted (host, salt) partial
-  top-k before the exact per-host rank (salt factor 16), AQE skew-join
-  splitting enabled.
+  priority top-k (skipped entirely when the frontier fits in the
+  batch); host skew killed by a salted (host, salt) partial top-k
+  before the exact per-host rank (salt factor 16, engaged at
+  frontiers >= 2x10^7 rows where one host could overwhelm a single
+  reducer's sort), AQE skew-join splitting enabled.
+- Fused generations (round 3): 2 jobs per generation via lazy
+  localCheckpoints; the selected batch is broadcast only below 200k
+  rows (bigger batches use shuffle joins — deployed, these are
+  storage-partitioned joins on bucketed tables).
 - The CDX index map has NO shuffle (see PLANS.md: single
   WholeStageCodegen -> ArrowEvalPython -> noop sink plan).
 - Spark's in-memory columnar cache and zstd parquet decode both
