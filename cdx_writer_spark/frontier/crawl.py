@@ -385,6 +385,43 @@ def _gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, f"gen={gen:05d}")
 
 
+class _AsyncSave:
+    """At-most-one-outstanding background checkpoint writer.
+
+    Spark supports concurrent job submission from multiple driver
+    threads, so the per-generation parquet writes (frontier, seen delta,
+    cdx, manifest-last) overlap the next generation's compute instead of
+    serializing after it.  ``join()`` re-raises any writer failure; the
+    loop joins before starting the next write, before freeing any blocks
+    the writer might still read (delta compaction), and before
+    returning."""
+
+    def __init__(self):
+        self._t = None
+        self._err = None
+
+    def start(self, *args):
+        import threading
+        self.join()
+
+        def run():
+            try:
+                save_state(*args)
+            except BaseException as e:   # re-raised at join
+                self._err = e
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        if self._t is not None:
+            self._t.join()
+            self._t = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
                cdx: DataFrame, metrics: dict):
     """Per-generation snapshot.  ``seen`` is stored as a DELTA (this
@@ -532,6 +569,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     pending_novel = 0
 
     cdx_parts = []
+    saver = _AsyncSave()
     for gen in range(start_gen, generations):
         # fused small-generation mode: see crawl_step.  Off when the
         # frontier size is unknown (resume) or at production scale.
@@ -666,10 +704,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         all_metrics.append(metrics)
         if checkpoint_dir:
             # gen 0's delta also carries the seed keys so the union of
-            # deltas reconstructs the full seen set on resume
+            # deltas reconstructs the full seen set on resume.  The write
+            # runs in the background (at most one outstanding) and
+            # overlaps the next generation's compute; everything it reads
+            # (frontier ckpt, delta, parsed-backed cdx) survives this
+            # generation's frees, and the compaction branch joins first.
             delta = (seen_parts[0].unionByName(new_seen) if gen == 0
                      else new_seen)
-            save_state(checkpoint_dir, gen, frontier, delta, cdx, metrics)
+            saver.start(checkpoint_dir, gen, frontier, delta, cdx, metrics)
         # ---- free superseded checkpoint blocks (last: everything that
         # still reads them — frontier ckpt, bloom flush, save_state — has
         # materialized).  A frontier snapshot that backs a live seen part
@@ -683,9 +725,13 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                             for h in seen_handles)):
             free_checkpoint(prev_frontier_handle)
         if compact_old is not None:
+            # the in-flight checkpoint write may still read this
+            # generation's delta, which compaction is about to free
+            saver.join()
             for h in compact_old:
                 if h is not frontier:
                     free_checkpoint(h)
+    saver.join()
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
         all_cdx = all_cdx.unionByName(c)
