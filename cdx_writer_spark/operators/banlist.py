@@ -58,9 +58,12 @@ def prefix_free(urls: DataFrame, col: str = "url") -> DataFrame:
 
         return (d.coalesce(1).sortWithinPartitions(col)
                 .mapInPandas(scan_one, f"`{col}` string"))
+    # lazy checkpoints: the boundary-fix collect below is the first
+    # consumer and materializes both frames in-line (no dedicated jobs);
+    # later consumers read the persisted blocks
     ranged = (d.repartitionByRange(F.col(col))
               .sortWithinPartitions(col)
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     def scan(batches):
         from pyspark import TaskContext
@@ -75,7 +78,7 @@ def prefix_free(urls: DataFrame, col: str = "url") -> DataFrame:
             yield pd.DataFrame({col: keep, "_pid": [pid] * len(keep)})
 
     kept = ranged.mapInPandas(scan, f"{col} string, _pid int") \
-                 .localCheckpoint(eager=True)
+                 .localCheckpoint(eager=False)
     # per-partition last kept entry = max (partition output is sorted)
     lasts = {r["_pid"]: r["_last"] for r in
              kept.groupBy("_pid").agg(F.max(col).alias("_last")).collect()}

@@ -56,10 +56,13 @@ def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
     # one shared range partitioning for both sides; within a partition
     # prefixes sort BEFORE an identical urlkey (a prefix equal to the key
     # matches it), giving the merge scan its invariant: when a record row
-    # is reached, the last prefix row seen is the largest prefix <= key
+    # is reached, the last prefix row seen is the largest prefix <= key.
+    # Lazy checkpoint: the per-partition-last-prefix collect below is the
+    # first consumer and materializes it — no extra job barrier; the
+    # merge scan then reads the persisted blocks.
     ranged = (u.repartitionByRange(F.col(_K))
               .sortWithinPartitions(F.asc(_K), F.desc(_TAG))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     # partition-count metadata only: each partition's last (max) prefix
     lasts = {r["pid"]: r["last_p"] for r in
