@@ -25,7 +25,8 @@ def materialize(df):
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
     "q6_forecast_filter", "politeness_topk", "running_offset",
-    "prefix_exclude", "prefix_exclude_big", "filter_stats",
+    "prefix_exclude", "prefix_exclude_big", "robots_parse",
+    "filter_stats",
     "seen_anti_join", "union_dedup",
     "date_normalize", "banlist_prefix_dedup", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash16",

@@ -281,13 +281,27 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # so the pages table never shuffles; big batches pay a shuffle join
     # instead — the driver collect + rebroadcast of a 10^5+-row batch is
     # measured serial time every generation, and at production batch
-    # sizes would be GBs through one process.  (Deployed, pages and
-    # frontier are bucketed on their keys so this join is
-    # storage-partitioned; see plans/layout.py.)
+    # sizes would be GBs through one process.  The shuffle join is
+    # preceded by a bloom pre-filter built from the batch keys (~1.2 MB
+    # per 10^6 keys): only probable matches shuffle their payload, so
+    # the web side's shuffle volume is ~|batch| rows instead of |web| —
+    # at the production web:batch ratio (~100:1) a ~100x cut, and on
+    # this host it keeps the join under the measured DRAM-bandwidth
+    # ceiling (BENCH.md).  False positives are resolved by the join
+    # itself.  (Deployed, pages and frontier are additionally bucketed
+    # on their keys so the join is storage-partitioned; see
+    # plans/layout.py.)
+    web = pages.select("url", "warc_ts", "html")
     small_batch = cfg.global_batch <= cfg.broadcast_batch_max_rows
-    sel_fetch = F.broadcast(selected) if small_batch else selected
-    fetched = (pages.select("url", "warc_ts", "html")
-               .join(sel_fetch, "url", "inner"))
+    if small_batch:
+        fetched = web.join(F.broadcast(selected), "url", "inner")
+    else:
+        from .seen import bloom_prefilter, build_bloom
+        fb, fm, fk = build_bloom(selected, "url",
+                                 capacity=cfg.global_batch, fpp=0.02)
+        pre = (bloom_prefilter(web, "url", fb, fm, fk)
+               .filter(F.col("maybe_seen")).drop("maybe_seen"))
+        fetched = pre.join(selected, "url", "inner")
     # parse once, checkpoint a SLIM projection (digest + outlinks, never the
     # raw html) — both the CDX emission and the discovery stage read it, so
     # the web table is scanned exactly once per generation

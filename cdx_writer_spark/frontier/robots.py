@@ -1,0 +1,69 @@
+"""robots.txt parsing -> the (host, rule_type, path_prefix) rules table
+consumed by frontier.crawl.robots_gate (north_rule robots gating).
+
+The reference engine has no robots handling (it indexes already-fetched
+archives); a crawl frontier must parse the fetched ``/robots.txt``
+bodies itself.  Grammar implemented (the original REP as published in
+the robotstxt.org spec and RFC 9309 §2): records are groups of
+``User-agent`` lines followed by ``Allow``/``Disallow`` lines; a record
+applies to agent ``*`` iff one of its User-agent lines is ``*`` (or the
+configured agent string, matched case-insensitively); ``#`` starts a
+comment; field names are case-insensitive; blank Disallow means
+"allow everything" and is dropped.
+
+Implementation is pure DataFrame/window algebra — no UDF:
+  split body -> posexplode keeps line order -> a running count of
+  "User-agent line that starts a new record" boundaries assigns each
+  line its record id -> records with a matching User-agent line are
+  semi-joined back -> their Allow/Disallow lines become rules.
+All shuffles hash on (host) or (host, record) — never on line text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["robots_rules"]
+
+
+def robots_rules(docs: DataFrame, host_col: str = "host",
+                 body_col: str = "body", agent: str = "*") -> DataFrame:
+    """(host, body) robots.txt docs -> (host, rule_type, path_prefix)."""
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n"))
+        .alias("pos", "raw"))
+    # strip comments + whitespace; classify
+    line = F.trim(F.regexp_replace("raw", "#.*$", ""))
+    fields = lines.select(
+        "host", "pos",
+        F.regexp_extract(line, r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$", 1)
+        .alias("field"),
+        F.trim(F.regexp_extract(
+            line, r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$", 2))
+        .alias("value"))
+    fields = (fields.filter(F.col("field") != "")
+              .withColumn("field", F.lower("field")))
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    # a User-agent line NOT preceded by another User-agent line starts a
+    # new record (consecutive UA lines share the record)
+    boundary = (is_ua * F.when(
+        F.lag("field").over(w).isNull()
+        | (F.lag("field").over(w) != "user-agent"), 1).otherwise(0))
+    recs = fields.withColumn(
+        "record", F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+
+    # records whose UA set names the configured agent
+    matching = (recs.filter((F.col("field") == "user-agent")
+                            & (F.lower("value") == agent.lower()))
+                .select("host", "record").distinct())
+    rules = (recs.filter(F.col("field").isin("allow", "disallow")
+                         & (F.col("value") != ""))
+             .join(matching, ["host", "record"], "left_semi")
+             .select("host",
+                     F.col("field").alias("rule_type"),
+                     F.col("value").alias("path_prefix")))
+    return rules.distinct()

@@ -250,6 +250,47 @@ ORDER BY l_returnflag
 """
 
 
+def robots_parse(spark, sf):
+    """robots.txt parsing (north_rule robots gating; frontier/robots.py):
+    synthesize one deterministic robots.txt per nation-host with records
+    for other agents (must be ignored), a shared crawler+* record with
+    an inline comment, a blank Disallow (dropped), CRLF lines and
+    case-mixed field names — then parse for agent '*'.  The oracle
+    states the expected rules arithmetically from the same parameters,
+    so every parser behavior (record grouping, agent matching, comment
+    stripping, blank-rule dropping) is value-checked."""
+    from ..frontier.robots import robots_rules
+    n = _t(spark, sf, "nation")
+    host = F.concat(F.lit("www."), F.lower(F.col("n_name")),
+                    F.lit(".example"))
+    body = F.concat(
+        F.lit("# synthetic robots\r\nUser-Agent: GoogleBot\r\n"
+              "Disallow: /secret\r\n\r\n"
+              "User-agent: crawler\nUSER-AGENT: *\nDisallow: /n/"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("/\nAllow: /n/pub # inline comment\nDisallow:\n\n"),
+        F.when(F.col("n_nationkey") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /even\n"))
+        .otherwise(F.lit("")))
+    docs = n.select(host.alias("host"), body.alias("body"))
+    return robots_rules(docs).orderBy("host", "rule_type", "path_prefix")
+
+
+ORACLE_ROBOTS_PARSE = """
+WITH hosts AS (
+  SELECT 'www.' || lower(n_name) || '.example' AS host, n_nationkey AS k
+  FROM nation)
+SELECT host, rule_type, path_prefix FROM (
+  SELECT host, 'disallow' AS rule_type,
+         '/n/' || CAST(k AS VARCHAR) || '/' AS path_prefix FROM hosts
+  UNION ALL
+  SELECT host, 'allow', '/n/pub' FROM hosts
+  UNION ALL
+  SELECT host, 'disallow', '/even' FROM hosts WHERE k % 2 = 0)
+ORDER BY host, rule_type, path_prefix
+"""
+
+
 def filter_stats(spark, sf):
     """A1 stats counters (cdx_writer.py:648-652): processed / included /
     filtered in one aggregate pass."""
@@ -807,6 +848,7 @@ QUERIES = {
     "running_offset": running_offset,
     "prefix_exclude": prefix_exclude,
     "prefix_exclude_big": prefix_exclude_big,
+    "robots_parse": robots_parse,
     "filter_stats": filter_stats,
     "seen_anti_join": seen_anti_join,
     "union_dedup": union_dedup,
@@ -834,6 +876,7 @@ ORACLES = {
     "running_offset": ORACLE_RUNNING_OFFSET,
     "prefix_exclude": ORACLE_PREFIX_EXCLUDE,
     "prefix_exclude_big": ORACLE_PREFIX_EXCLUDE_BIG,
+    "robots_parse": ORACLE_ROBOTS_PARSE,
     "filter_stats": ORACLE_FILTER_STATS,
     "seen_anti_join": ORACLE_SEEN_ANTI,
     "union_dedup": ORACLE_UNION_DEDUP,

@@ -344,3 +344,51 @@ def test_bloom_auto_shards_mid_run(spark, world):
     e, a = run(cfg_exact), run(cfg_auto)
     assert e[0] == a[0], "seen differs after auto-shard flip"
     assert e[1] == a[1], "cdx differs after auto-shard flip"
+
+
+def test_robots_rules_parser(spark):
+    """frontier/robots.py vs hand-computed expectations on the RFC-9309
+    grammar corners: shared user-agent groups, non-matching agents,
+    comments, blank Disallow, CRLF, case-insensitive fields, rules
+    before any User-agent line (invalid, dropped)."""
+    from cdx_writer_spark.frontier.robots import robots_rules
+    body_a = ("Disallow: /orphan\n"              # before any UA: dropped
+              "# comment only\n"
+              "User-Agent: GoogleBot\r\n"
+              "Disallow: /google-only\r\n"
+              "\r\n"
+              "User-agent: crawler\n"
+              "USER-AGENT: *\n"                   # shared group matches *
+              "Disallow: /a/   # inline comment\n"
+              "Allow: /a/pub\n"
+              "disallow:\n"                       # blank: allow-all, drop
+              "\n"
+              "User-agent: *\n"
+              "DISALLOW: /b\n")
+    body_b = ("User-agent: other\nDisallow: /x\n")   # nothing for *
+    docs = spark.createDataFrame(
+        [("h1.example", body_a), ("h2.example", body_b)], ["host", "body"])
+    got = sorted(tuple(r) for r in robots_rules(docs).collect())
+    assert got == [("h1.example", "allow", "/a/pub"),
+                   ("h1.example", "disallow", "/a/"),
+                   ("h1.example", "disallow", "/b")]
+    # agent-specific parse picks the google record instead
+    got_g = sorted(tuple(r) for r in
+                   robots_rules(docs, agent="googlebot").collect())
+    assert got_g == [("h1.example", "disallow", "/google-only")]
+
+
+def test_big_batch_join_path_equals_broadcast(spark, world):
+    """Forcing the big-batch join strategy (bloom-prefiltered shuffle
+    fetch + shuffle leftover anti-join) must be result-identical to the
+    broadcast path — join strategy is a cost decision, not semantics."""
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200, use_bloom=False)
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
+                sorted(tuple(r) for r in f.collect()))
+    a = run(CrawlConfig(**base))
+    b = run(CrawlConfig(broadcast_batch_max_rows=0, **base))
+    assert a == b, "big-batch join strategy changed results"
