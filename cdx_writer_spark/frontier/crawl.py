@@ -159,9 +159,18 @@ def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
 
 
 def schedule(frontier: DataFrame, cfg: CrawlConfig,
-             frontier_size: int | None = None) -> DataFrame:
+             frontier_size: int | None = None,
+             host_budgets: DataFrame | None = None) -> DataFrame:
     """Politeness + priority-queue pop: per-host budget then global top-k,
     fully deterministic (urlkey tiebreaks).
+
+    ``host_budgets`` (host, budget) optionally REDUCES specific hosts'
+    budgets below cfg.per_host_budget (e.g. robots Crawl-delay via
+    frontier.robots.host_budgets); values above the default are clamped
+    by construction there, so the salted skew guard — sized for the
+    default — stays an upper bound.  The join rides the same (host)
+    hash partitioning the politeness window needs: no extra shuffle of
+    the frontier.
 
     Phase 0 (skew): partial top-k within (host, salt) — cheap map-side
     bound so the hottest Zipf host can't overload one reducer.  Skipped
@@ -182,8 +191,15 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig,
                .filter(F.col("rn0") <= cfg.per_host_budget)
                .drop("rn0", "salt"))
     w1 = Window.partitionBy("host").orderBy(F.desc("priority"), "urlkey")
+    if host_budgets is not None:
+        pre = pre.join(host_budgets, "host", "left")
+        cap = F.coalesce(F.col("budget"), F.lit(cfg.per_host_budget))
+    else:
+        cap = F.lit(cfg.per_host_budget)
     polite = (pre.withColumn("rn", F.row_number().over(w1))
-              .filter(F.col("rn") <= cfg.per_host_budget).drop("rn"))
+              .filter(F.col("rn") <= cap).drop("rn"))
+    if host_budgets is not None:
+        polite = polite.drop("budget")
     if frontier_size is not None and frontier_size <= cfg.global_batch:
         # the whole frontier fits in the batch: every polite row is
         # selected, so the global top-k (a full sort + extra
@@ -235,7 +251,8 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                robots: DataFrame | None, cfg: CrawlConfig, gen: int,
                bloom=None, recent: DataFrame | None = None,
-               frontier_size: int | None = None, fused: bool = False):
+               frontier_size: int | None = None, fused: bool = False,
+               host_budgets: DataFrame | None = None):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
     ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
@@ -273,7 +290,8 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains window shuffles that must not re-execute per consumer.
     # Fused: lazily — the fetch join's broadcast build materializes it.
-    selected = (schedule(frontier, cfg, frontier_size)
+    selected = (schedule(frontier, cfg, frontier_size,
+                         host_budgets=host_budgets)
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=not fused))
 
@@ -496,7 +514,8 @@ def load_state(spark: SparkSession, root: str):
 
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
               robots: DataFrame | None, cfg: CrawlConfig, generations: int,
-              checkpoint_dir: str | None = None, resume: bool = False):
+              checkpoint_dir: str | None = None, resume: bool = False,
+              host_budgets: DataFrame | None = None):
     """Run ``generations`` crawl steps; returns (frontier, seen, all_cdx,
     metrics list).  With ``resume``, continues from the last complete
     checkpoint and never re-emits a CDX row (idempotence via anti-join on
@@ -631,7 +650,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         prev_frontier_handle = frontier   # current gen's persisted frontier
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
-            recent=recent, frontier_size=frontier_size, fused=fused)
+            recent=recent, frontier_size=frontier_size, fused=fused,
+            host_budgets=host_budgets)
         scratch = metrics.pop("_scratch", [])
         delta_handle = metrics.pop("_delta_handle", None)
         if emitted_keys is not None:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["robots_rules"]
+__all__ = ["robots_rules", "host_budgets"]
 
 
 def robots_rules(docs: DataFrame, host_col: str = "host",
@@ -35,13 +35,11 @@ def robots_rules(docs: DataFrame, host_col: str = "host",
         .alias("pos", "raw"))
     # strip comments + whitespace; classify
     line = F.trim(F.regexp_replace("raw", "#.*$", ""))
+    pat = r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:\s*(.*)$"
     fields = lines.select(
         "host", "pos",
-        F.regexp_extract(line, r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$", 1)
-        .alias("field"),
-        F.trim(F.regexp_extract(
-            line, r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$", 2))
-        .alias("value"))
+        F.regexp_extract(line, pat, 1).alias("field"),
+        F.trim(F.regexp_extract(line, pat, 2)).alias("value"))
     fields = (fields.filter(F.col("field") != "")
               .withColumn("field", F.lower("field")))
 
@@ -60,10 +58,30 @@ def robots_rules(docs: DataFrame, host_col: str = "host",
     matching = (recs.filter((F.col("field") == "user-agent")
                             & (F.lower("value") == agent.lower()))
                 .select("host", "record").distinct())
-    rules = (recs.filter(F.col("field").isin("allow", "disallow")
+    rules = (recs.filter(F.col("field").isin("allow", "disallow",
+                                             "crawl-delay")
                          & (F.col("value") != ""))
              .join(matching, ["host", "record"], "left_semi")
              .select("host",
                      F.col("field").alias("rule_type"),
                      F.col("value").alias("path_prefix")))
     return rules.distinct()
+
+
+def host_budgets(rules: DataFrame, default_budget: int,
+                 gen_seconds: float = 60.0) -> DataFrame:
+    """Per-host politeness budget overrides from Crawl-delay rules:
+    a host asking for ``delay`` seconds between fetches gets at most
+    ``gen_seconds / delay`` fetches per generation (floored at 1,
+    CLAMPED at ``default_budget`` — overrides only ever reduce, so the
+    scheduler's salted skew guard, sized for the default, stays valid).
+    Output (host, budget) feeds ``schedule(host_budgets=...)``."""
+    delay = F.col("path_prefix").cast("double")
+    return (rules.filter((F.col("rule_type") == "crawl-delay")
+                         & delay.isNotNull() & (delay > 0))
+            .groupBy("host").agg(F.max(delay).alias("_delay"))
+            .select("host",
+                    F.least(
+                        F.greatest(F.floor(F.lit(gen_seconds) / F.col("_delay")),
+                                   F.lit(1)),
+                        F.lit(default_budget)).cast("int").alias("budget")))

@@ -392,3 +392,36 @@ def test_big_batch_join_path_equals_broadcast(spark, world):
     a = run(CrawlConfig(**base))
     b = run(CrawlConfig(broadcast_batch_max_rows=0, **base))
     assert a == b, "big-batch join strategy changed results"
+
+
+def test_crawl_delay_budgets(spark, world):
+    """Crawl-delay robots lines become per-host budget overrides: a host
+    asking for a delay gets at most gen_seconds/delay fetches per
+    generation, every other host keeps the default budget, and budgets
+    never exceed the default (salt-guard invariant)."""
+    from cdx_writer_spark.frontier.robots import host_budgets, robots_rules
+    pages, seeds, robots = world
+    docs = spark.createDataFrame(
+        [("site0.example.org",
+          "User-agent: *\nCrawl-delay: 30\nDisallow: /p/9\n"),
+         ("site1.example.org",
+          "User-agent: *\nCrawl-delay: 0.5\nDisallow: /p/9\n")],
+        ["host", "body"])
+    rules = robots_rules(docs)
+    budgets = host_budgets(rules, default_budget=4, gen_seconds=60.0)
+    got = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert got == {"site0.example.org": 2,      # 60/30
+                   "site1.example.org": 4}      # 120 clamped to default
+
+    cfg = CrawlConfig(per_host_budget=4, global_batch=500, use_bloom=False)
+    f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 2,
+                                host_budgets=budgets)
+    per_host = (cdx.join(
+        spark.createDataFrame([("site0.example.org",)], ["h"]),
+        F.expr("original_url LIKE 'http://site0.example.org/%'"), "left_semi")
+        .groupBy("generation").count().collect())
+    assert all(r["count"] <= 2 for r in per_host), \
+        "crawl-delay budget exceeded for site0"
+    # unconstrained run fetches at least as much overall
+    f2, _s2, cdx2, _m2 = run_crawl(spark, pages, seeds, robots, cfg, 2)
+    assert cdx2.count() >= cdx.count()
