@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["iceberg_available", "write_sorted", "write_host_bucketed",
-           "read_table"]
+           "read_table", "write_bucketed_table"]
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -53,3 +53,21 @@ def write_host_bucketed(df: DataFrame, path: str, host_col: str = "host",
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, name: str, bucket_col: str,
+                         n_buckets: int = 64, sort: bool = True,
+                         mode: str = "overwrite") -> None:
+    """Materialize as a Spark bucketed TABLE (catalog metadata, not just
+    file layout): two tables bucketed on the same key with the same
+    bucket count join with NO exchange on either side — the sandbox
+    equivalent of the Iceberg storage-partitioned join the crawl's
+    big-batch fetch/leftover joins assume when deployed
+    (frontier/crawl.py broadcast_batch_max_rows note).  Bucket pruning
+    and exchange elision are native Spark (`spark.sql.sources.bucketing
+    .enabled`); tests/test_operators.py pins the no-Exchange plan."""
+    w = (df.write.mode(mode).format("parquet")
+         .bucketBy(n_buckets, bucket_col))
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(name)

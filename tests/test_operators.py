@@ -266,3 +266,32 @@ def test_cdx_fields_big_exclude_equals_bnlj(spark, monkeypatch):
                cdx_fields(recs, all_records=True,
                           excludes=prefixes).collect())
     assert a == b and len(a) == 3
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """plans/layout.py write_bucketed_table: co-bucketed tables join with
+    NO shuffle exchange on either side — the sandbox stand-in for the
+    Iceberg storage-partitioned fetch/leftover joins the crawl assumes
+    at production batch sizes."""
+    from cdx_writer_spark.plans.layout import write_bucketed_table
+    pages = spark.range(0, 20000).selectExpr(
+        "concat('http://h', id % 97, '.com/p', id) AS url",
+        "id AS payload")
+    batch = spark.range(0, 20000, 7).selectExpr(
+        "concat('http://h', id % 97, '.com/p', id) AS url",
+        "id AS priority")
+    write_bucketed_table(pages, "bt_pages", "url", n_buckets=8)
+    write_bucketed_table(batch, "bt_batch", "url", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_pages").join(spark.table("bt_batch"), "url")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan, \
+            "co-bucketed join must not shuffle:\n" + plan
+        assert j.count() == 20000 // 7 + 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_pages")
+        spark.sql("DROP TABLE IF EXISTS bt_batch")
