@@ -11,12 +11,24 @@ order-insensitive (min/max/sum only).
 Scale notes (10^10 frontier):
 * politeness ranking is two-phase: a salted partial top-k bounds the
   per-partition work on Zipf-hot hosts before the exact per-host
-  row_number (SURVEY.md §4 item 1);
+  row_number (engaged only when one host could overwhelm a reducer);
+  per-host budgets can be reduced by robots Crawl-delay overrides
+  (frontier/robots.py); the global pop is skipped when the frontier
+  fits in the batch;
 * the seen-set anti-join is the only unavoidable big shuffle; bloom
-  pre-filtering (frontier/seen.py) cuts its probe volume;
-* per-generation state is written as parquet snapshots (frontier, seen,
-  cdx, metrics + manifest) = the checkpoint; resume replays from the last
-  complete manifest and re-emits nothing (anti-join on emitted CDX keys).
+  pre-filtering (frontier/seen.py) cuts its probe volume above 10^6
+  keys, auto-flipping to the sharded (shard, bitmap) deployment at
+  10^8+; the big-batch fetch join is bloom-prefiltered the same way so
+  the web side shuffles ~|batch| rows, never |web|;
+* small generations run FUSED (two jobs via lazy localCheckpoints —
+  see crawl_step); checkpoint-block storage is freed deterministically
+  with util.free_checkpoint, never left to JVM GC;
+* per-generation state is written as parquet snapshots (frontier, seen
+  DELTA, cdx, metrics + manifest-last) = the checkpoint, asynchronously
+  overlapped with the next generation; resume replays from the last
+  complete manifest and re-emits nothing (anti-join on emitted CDX
+  keys).  tests/test_crawl_simulator.py value-pins the whole loop
+  against an independent single-process implementation.
 """
 
 from __future__ import annotations

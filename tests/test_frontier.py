@@ -425,3 +425,22 @@ def test_crawl_delay_budgets(spark, world):
     # unconstrained run fetches at least as much overall
     f2, _s2, cdx2, _m2 = run_crawl(spark, pages, seeds, robots, cfg, 2)
     assert cdx2.count() >= cdx.count()
+
+
+def test_async_saver_propagates_failures():
+    """A failed background checkpoint write must surface at the next
+    join/start, not vanish in the thread."""
+    import pytest as _pytest
+    from cdx_writer_spark.frontier import crawl as crawl_mod
+
+    saver = crawl_mod._AsyncSave()
+    orig = crawl_mod.save_state
+    crawl_mod.save_state = lambda *a: (_ for _ in ()).throw(
+        IOError("disk full"))
+    try:
+        saver.start("/nonexistent", 0, None, None, None, {})
+        with _pytest.raises(IOError, match="disk full"):
+            saver.join()
+        saver.join()  # error is consumed; subsequent joins are clean
+    finally:
+        crawl_mod.save_state = orig
