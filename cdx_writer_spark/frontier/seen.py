@@ -26,6 +26,11 @@ Three bloom deployments:
      never holds ANY bitmap: its memory is O(1) in the key count, so a
      10^10-key seen set (~12 GB of bitmap at 1% fpp) costs each executor
      task one shard (~12 GB / n_shards) and the driver nothing.
+
+Plus the CUCKOO alternative (:class:`CuckooFilter`, bottom of file) —
+same sidecar contract and ~2 bytes/key, but with O(1) DELETION
+(recrawl scheduling evicts URLs whose revisit interval expired), which
+no bloom variant supports.
 """
 
 from __future__ import annotations
@@ -39,7 +44,9 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["bloom_params", "build_bloom", "bloom_prefilter", "anti_join_seen",
            "ShardedBloom", "build_sharded_bloom", "merge_sharded_blooms",
-           "sharded_bloom_prefilter"]
+           "sharded_bloom_prefilter", "CuckooFilter", "cuckoo_params",
+           "build_cuckoo", "cuckoo_prefilter", "cuckoo_insert_keys",
+           "cuckoo_delete_keys"]
 
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -154,6 +161,8 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
         return candidates.join(seen.select(key), key, "left_anti")
     if isinstance(bloom, ShardedBloom):
         flagged = sharded_bloom_prefilter(candidates, key, bloom)
+    elif isinstance(bloom, CuckooFilter):
+        flagged = cuckoo_prefilter(candidates, key, bloom)
     else:
         bitmap, m, k = bloom
         flagged = bloom_prefilter(candidates, key, bitmap, m, k)
@@ -281,3 +290,176 @@ def sharded_bloom_prefilter(candidates: DataFrame, key: str,
     return (cand.groupBy("_shard")
             .cogroup(bloom.df.groupBy("shard"))
             .applyInPandas(check, out_schema))
+
+
+# ----------------------------------------------------------- cuckoo ----
+
+CUCKOO_SLOTS = 4
+_CUCKOO_C = np.uint64(0x5bd1e995)          # odd constant: b2 = b1 ^ (fp*C)
+
+
+@dataclass
+class CuckooFilter:
+    """Partial-key cuckoo filter (north_rule names "bloom/cuckoo"):
+    16-bit fingerprints in ``(n_buckets, 4)`` buckets.  Same sidecar
+    contract as the bloom — a miss is DEFINITELY novel, a hit goes to
+    the exact join — plus the cuckoo extra: O(1) DELETION, which a
+    bloom cannot do (recrawl scheduling removes URLs from the seen set
+    when their revisit interval expires).  The alt-bucket mapping
+    ``b2 = b1 xor h(fp)`` is self-inverse, so any stored (bucket, fp)
+    slot can be reinserted knowing only its position — which makes
+    per-partition filters MERGEABLE by reinsertion (the distributed
+    build below) and the filter resizable."""
+    buckets: np.ndarray          # uint16, shape (n_buckets, CUCKOO_SLOTS)
+    n_buckets: int
+
+
+def cuckoo_params(capacity: int, load: float = 0.5) -> int:
+    """Power-of-two bucket count for a target capacity at a safe load."""
+    need = max(int(capacity / (CUCKOO_SLOTS * load)), 8)
+    n = 1
+    while n < need:
+        n <<= 1
+    return n
+
+
+def _cuckoo_fp_bucket(h1: np.ndarray, h2: np.ndarray, n_buckets: int):
+    fp = (h1 % np.uint64(65535)).astype(np.uint16) + np.uint16(1)  # != 0
+    b1 = (h2 & np.uint64(n_buckets - 1)).astype(np.int64)
+    return fp, b1
+
+
+def _cuckoo_alt(b: np.ndarray | int, fp, n_buckets: int):
+    return (np.int64(b) ^ ((np.uint64(fp) * _CUCKOO_C)
+                           & np.uint64(n_buckets - 1)).astype(np.int64))
+
+
+def _cuckoo_insert_one(buckets: np.ndarray, b: int, fp: int,
+                       n_buckets: int, max_kicks: int = 500) -> bool:
+    cur_b, cur_fp = int(b), int(fp)
+    for attempt in range(max_kicks):
+        row = buckets[cur_b]
+        empty = np.flatnonzero(row == 0)
+        if empty.size:
+            row[empty[0]] = cur_fp
+            return True
+        alt = int(_cuckoo_alt(cur_b, cur_fp, n_buckets))
+        row2 = buckets[alt]
+        empty2 = np.flatnonzero(row2 == 0)
+        if empty2.size:
+            row2[empty2[0]] = cur_fp
+            return True
+        # deterministic kick (no RNG: determinism contract)
+        s = (cur_fp + attempt) % CUCKOO_SLOTS
+        victim = int(row2[s])
+        row2[s] = cur_fp
+        cur_b, cur_fp = int(_cuckoo_alt(alt, victim, n_buckets)), victim
+    return False
+
+
+def build_cuckoo(df: DataFrame, key: str, capacity: int) -> CuckooFilter:
+    """Distributed build: each partition fills a full-geometry filter
+    over its keys (mapInPandas), the driver merges them by reinserting
+    every stored slot — possible only because the alt mapping is
+    self-inverse.  Driver peak memory = 2 partial filters, O(capacity)
+    not O(keys x partitions)."""
+    n_buckets = cuckoo_params(capacity)
+    hashed = df.select(
+        F.xxhash64(F.col(key), F.lit(1)).alias("h1"),
+        F.xxhash64(F.col(key), F.lit(2)).alias("h2"))
+
+    def to_filter(batches):
+        buckets = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+        for pdf in batches:
+            fp, b1 = _cuckoo_fp_bucket(pdf["h1"].to_numpy(dtype=np.uint64),
+                                       pdf["h2"].to_numpy(dtype=np.uint64),
+                                       n_buckets)
+            for i in range(len(fp)):
+                if not _cuckoo_insert_one(buckets, b1[i], fp[i], n_buckets):
+                    raise ValueError("cuckoo filter over capacity")
+        yield pd.DataFrame({"buckets": [buckets.tobytes()]})
+
+    parts = hashed.mapInPandas(
+        to_filter, T.StructType([T.StructField("buckets", T.BinaryType())])
+    ).collect()
+    acc = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+    for row in parts:
+        part = np.frombuffer(row["buckets"], dtype=np.uint16).reshape(
+            n_buckets, CUCKOO_SLOTS)
+        bs, ss = np.nonzero(part)
+        for b, s in zip(bs, ss):
+            if not _cuckoo_insert_one(acc, b, int(part[b, s]), n_buckets):
+                raise ValueError("cuckoo filter over capacity (merge)")
+    return CuckooFilter(acc, n_buckets)
+
+
+_U64 = (1 << 64) - 1
+
+
+def _pair_u64(h1, h2):
+    # xxhash64 lands in Python as a SIGNED long; mask to two's-complement
+    return (np.array([int(h1) & _U64], dtype=np.uint64),
+            np.array([int(h2) & _U64], dtype=np.uint64))
+
+
+def cuckoo_insert_keys(filt: CuckooFilter, keys) -> None:
+    """Driver-side incremental inserts (the crawl's per-generation novel
+    deltas).  ``keys``: iterable of (h1, h2) xxhash64 pairs (signed or
+    unsigned)."""
+    for h1, h2 in keys:
+        a, b = _pair_u64(h1, h2)
+        fp, b1 = _cuckoo_fp_bucket(a, b, filt.n_buckets)
+        if not _cuckoo_insert_one(filt.buckets, b1[0], fp[0],
+                                  filt.n_buckets):
+            raise ValueError("cuckoo filter over capacity")
+
+
+def cuckoo_delete_keys(filt: CuckooFilter, keys) -> int:
+    """Remove keys (known-inserted; standard cuckoo caveat: a key whose
+    (fingerprint, bucket) collides with another's removes one copy).
+    Returns how many were found+removed."""
+    removed = 0
+    for h1, h2 in keys:
+        a, b = _pair_u64(h1, h2)
+        fp, b1 = _cuckoo_fp_bucket(a, b, filt.n_buckets)
+        f, b = int(fp[0]), int(b1[0])
+        for cand in (b, int(_cuckoo_alt(b, f, filt.n_buckets))):
+            slots = np.flatnonzero(filt.buckets[cand] == f)
+            if slots.size:
+                filt.buckets[cand, slots[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
+def cuckoo_prefilter(candidates: DataFrame, key: str, filt_or_bytes,
+                     n_buckets: int | None = None) -> DataFrame:
+    """Adds ``maybe_seen`` exactly like bloom_prefilter: False => novel.
+    Pass a CuckooFilter (broadcast here) or an already-broadcast bytes
+    handle + n_buckets."""
+    from pyspark.broadcast import Broadcast
+    spark = candidates.sparkSession
+    if isinstance(filt_or_bytes, CuckooFilter):
+        n_buckets = filt_or_bytes.n_buckets
+        bc = spark.sparkContext.broadcast(filt_or_bytes.buckets.tobytes())
+    elif isinstance(filt_or_bytes, Broadcast):
+        bc = filt_or_bytes
+    else:
+        bc = spark.sparkContext.broadcast(filt_or_bytes)
+    nb = n_buckets
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        buckets = np.frombuffer(bc.value, dtype=np.uint16).reshape(
+            nb, CUCKOO_SLOTS)
+        fp, b1 = _cuckoo_fp_bucket(h1.to_numpy(dtype=np.uint64),
+                                   h2.to_numpy(dtype=np.uint64), nb)
+        b2 = _cuckoo_alt(b1, fp, nb)
+        hit = ((buckets[b1] == fp[:, None]).any(axis=1)
+               | (buckets[b2] == fp[:, None]).any(axis=1))
+        return pd.Series(hit)
+
+    return candidates.withColumn(
+        "maybe_seen",
+        might_contain(F.xxhash64(F.col(key), F.lit(1)),
+                      F.xxhash64(F.col(key), F.lit(2))))

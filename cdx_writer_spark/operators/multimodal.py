@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["IMAGE_META_SCHEMA", "image_features", "audio_frames",
+           "video_keyframes",
            "synth_media"]
 
 IMAGE_META_SCHEMA = T.StructType([
@@ -92,6 +93,44 @@ def audio_frames(media: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(out)
     return media.select(id_col, payload_col).mapInPandas(
         run, AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_KEYFRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+
+def video_keyframes(media: DataFrame, id_col: str = "media_id",
+                    payload_col: str = "payload", every_n: int = 4,
+                    frame_bytes: int = 1024, fps: float = 25.0
+                    ) -> DataFrame:
+    """Keyframe sampling: every ``every_n``-th frame of each video row
+    becomes an output row with its timestamp and a thumbnail payload —
+    the decode step is a STUB (ffmpeg/PyAV absent in this container:
+    frames are fixed-size byte windows, the "thumbnail" is the frame's
+    first 64 bytes); the Spark plumbing — cardinality-changing
+    mapInPandas fan-out, bounded Arrow batches, deterministic
+    (media_id, frame_idx) keys, timestamp arithmetic — is the real
+    production shape and is what the tests pin."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [],
+                   "thumb": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = max((len(b) + frame_bytes - 1) // frame_bytes, 1)
+                for i in range(0, n_frames, every_n):
+                    fr = b[i * frame_bytes: (i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(int(i * 1000.0 / fps))
+                    out["thumb"].append(fr[:64])
+            yield pd.DataFrame(out)
+    return media.select(id_col, payload_col).mapInPandas(
+        run, VIDEO_KEYFRAME_SCHEMA)
 
 
 def synth_media(spark, n: int, payload_kb: int = 4) -> DataFrame:

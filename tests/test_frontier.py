@@ -444,3 +444,106 @@ def test_async_saver_propagates_failures():
         saver.join()  # error is consumed; subsequent joins are clean
     finally:
         crawl_mod.save_state = orig
+
+
+def test_cuckoo_filter_matches_exact(spark):
+    """Cuckoo sidecar contract: NO false negatives ever (every inserted
+    key reads maybe_seen=True), sane false-positive rate, and anti-join
+    results identical to the exact join."""
+    from cdx_writer_spark.frontier.seen import (anti_join_seen,
+                                                build_cuckoo,
+                                                cuckoo_prefilter)
+    seen = spark.range(0, 30000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    cand = spark.range(20000, 50000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    filt = build_cuckoo(seen, "urlkey", capacity=60000)
+
+    flagged = cuckoo_prefilter(seen, "urlkey", filt)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0, \
+        "false negative: an inserted key read as definitely-novel"
+    fp = (cuckoo_prefilter(
+        spark.range(10**6, 10**6 + 20000).select(
+            F.concat(F.lit("key"), F.col("id")).alias("urlkey")),
+        "urlkey", filt).filter("maybe_seen").count())
+    assert fp / 20000 < 0.05, f"false-positive rate too high: {fp/20000}"
+
+    exact = sorted(r["urlkey"] for r in
+                   anti_join_seen(cand, seen, "urlkey").collect())
+    got = sorted(r["urlkey"] for r in
+                 anti_join_seen(cand, seen, "urlkey", bloom=filt).collect())
+    assert got == exact
+
+
+def test_cuckoo_insert_delete(spark):
+    """The cuckoo extra over blooms: deletion.  Insert, delete half,
+    remaining keys must still never read novel; deleted keys mostly
+    vanish (fingerprint collisions may retain a few)."""
+    import numpy as np
+    from cdx_writer_spark.frontier.seen import (CuckooFilter,
+                                                _cuckoo_fp_bucket,
+                                                build_cuckoo,
+                                                cuckoo_delete_keys,
+                                                cuckoo_prefilter)
+    keys = spark.range(0, 4000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("urlkey"))
+    filt = build_cuckoo(keys, "urlkey", capacity=10000)
+    hashed = keys.select(
+        F.xxhash64("urlkey", F.lit(1)).alias("h1"),
+        F.xxhash64("urlkey", F.lit(2)).alias("h2"),
+        (F.regexp_extract("urlkey", r"u(\d+)", 1).cast("long") % 2 == 0)
+        .alias("even")).collect()
+    to_delete = [(r["h1"], r["h2"]) for r in hashed if r["even"]]
+    n = cuckoo_delete_keys(filt, to_delete)
+    assert n == len(to_delete)
+    odd = keys.filter(
+        F.regexp_extract("urlkey", r"u(\d+)", 1).cast("long") % 2 == 1)
+    missing = cuckoo_prefilter(odd, "urlkey", filt) \
+        .filter(~F.col("maybe_seen")).count()
+    # a remaining key can only vanish if a deleted twin shared its
+    # (fingerprint, bucket) — rare at this load
+    assert missing <= 2, f"{missing} remaining keys vanished"
+    even = keys.filter(
+        F.regexp_extract("urlkey", r"u(\d+)", 1).cast("long") % 2 == 0)
+    still = cuckoo_prefilter(even, "urlkey", filt) \
+        .filter(F.col("maybe_seen")).count()
+    assert still / 2000 < 0.05, f"deleted keys still present: {still}"
+
+
+def test_crawl_with_cuckoo_equals_exact(spark, world):
+    """The crawl with a cuckoo seen-filter sidecar == exact anti-join
+    crawl — same guarantee the bloom deployments carry."""
+    from cdx_writer_spark.frontier import crawl as crawl_mod
+    from cdx_writer_spark.frontier.seen import build_cuckoo
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+
+    def run(cfg, bloom_override=None):
+        if bloom_override is None:
+            f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 2)
+            return (sorted(r["urlkey"] for r in seen.collect()),
+                    sorted((r["urlkey"], r["generation"])
+                           for r in cdx.collect()))
+        # drive crawl_step directly with the cuckoo sidecar
+        from pyspark.sql import Observation
+        frontier = crawl_mod.init_frontier(seeds).localCheckpoint(eager=True)
+        seen = frontier.select("urlkey")
+        cdx_parts = []
+        for gen in range(2):
+            filt = build_cuckoo(seen, "urlkey", capacity=200000)
+            frontier, new_seen, cdx, m = crawl_mod.crawl_step(
+                pages, frontier, seen, robots, cfg, gen, bloom=filt)
+            frontier = frontier.localCheckpoint(eager=True)
+            new_seen = frontier.where(
+                F.col("generation") == gen + 1).select("urlkey")
+            seen = seen.unionByName(new_seen)
+            cdx_parts.append(cdx)
+        all_cdx = cdx_parts[0].unionByName(cdx_parts[1])
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"])
+                       for r in all_cdx.collect()))
+
+    e = run(CrawlConfig(use_bloom=False, **base))
+    c = run(CrawlConfig(use_bloom=False, **base), bloom_override=True)
+    assert e[0] == c[0], "seen differs under cuckoo sidecar"
+    assert e[1] == c[1], "cdx differs under cuckoo sidecar"

@@ -295,3 +295,23 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_pages")
         spark.sql("DROP TABLE IF EXISTS bt_batch")
+
+
+def test_video_keyframe_sampling(spark):
+    """video_keyframes: every_n sampling, timestamps, bounded thumbs,
+    deterministic fan-out cardinality."""
+    from cdx_writer_spark.operators.multimodal import (synth_media,
+                                                       video_keyframes)
+    media = synth_media(spark, 12, payload_kb=8)   # 8KB = 8 frames @1KB
+    kf = video_keyframes(media, every_n=4, frame_bytes=1024, fps=25.0)
+    rows = kf.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert len(per) == 12
+    for mid, frames in per.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == [0, 4], f"media {mid}: {idxs}"
+        for f in frames:
+            assert f["ts_ms"] == int(f["frame_idx"] * 40)
+            assert len(f["thumb"]) <= 64
