@@ -315,3 +315,44 @@ def test_video_keyframe_sampling(spark):
         for f in frames:
             assert f["ts_ms"] == int(f["frame_idx"] * 40)
             assert len(f["thumb"]) <= 64
+
+
+def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch window computation
+    restricted to CLOSED sessions (each user's last session stays open in
+    the state store and is never emitted in append mode)."""
+    import shutil
+    from pyspark.sql import Window
+    from cdx_writer_spark.streaming.events import EVENTS_SCHEMA
+    from cdx_writer_spark.streaming.sessions import stateful_sessions
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .parquet(str(src)))
+    name = "stateful_sessions_out"
+    q = (stateful_sessions(stream, gap_sec=1800)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["n_events"])
+                 for r in spark.table(name).collect())
+
+    # batch expectation: sessionize, drop each user's LAST session
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1)
+                         .otherwise(0))
+            .withColumn("sid", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(F.count("*").alias("n_events")))
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed = sess.join(last_sid, ["user_id", "sid"], "left_anti")
+    want = sorted((r["user_id"], r["n_events"]) for r in closed.collect())
+    assert got == want
