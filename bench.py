@@ -65,15 +65,23 @@ def crawl_bench(spark, n_pages: int, generations: int = 3):
     robots = synth_robots(spark, n_hosts=n_hosts)
     cfg = CrawlConfig(per_host_budget=64,
                       global_batch=max(n_pages // 4, 1000))
-    t0 = time.time()
-    _f, seen, cdx, metrics = run_crawl(spark, pages, seeds, robots, cfg,
-                                       generations)
-    n_cdx = cdx.count()
+
+    # best of 2 (same protocol as index_bench and the catalog queries):
+    # a single run under this host's bursty steal reported phantom 1.7x
+    # swings between otherwise-identical sessions
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        _f, seen, cdx, metrics = run_crawl(spark, pages, seeds, robots,
+                                           cfg, generations)
+        n_cdx = cdx.count()
+        runs.append((time.time() - t0, n_cdx, metrics))
+    dt, n_cdx, metrics = min(runs, key=lambda r: r[0])
     n_sched = sum(m["scheduled"] for m in metrics)
     n_novel = sum(m["novel"] for m in metrics)
-    dt = time.time() - t0
     return {
         "crawl_sec": round(dt, 3),
+        "crawl_sec_runs": [round(r[0], 3) for r in runs],
         "urls_scheduled": n_sched,
         "urls_discovered_novel": n_novel,
         "cdx_rows": n_cdx,
