@@ -547,3 +547,32 @@ def test_crawl_with_cuckoo_equals_exact(spark, world):
     c = run(CrawlConfig(use_bloom=False, **base), bloom_override=True)
     assert e[0] == c[0], "seen differs under cuckoo sidecar"
     assert e[1] == c[1], "cdx differs under cuckoo sidecar"
+
+
+def test_cuckoo_deletion_enables_recrawl(spark):
+    """The recrawl flow the cuckoo filter exists for: expire a URL by
+    deleting it from BOTH the exact seen table and the filter, and the
+    seen anti-join re-admits it as a candidate; with a bloom this would
+    require a full filter rebuild."""
+    from cdx_writer_spark.frontier.seen import (anti_join_seen,
+                                                build_cuckoo,
+                                                cuckoo_delete_keys)
+    seen = spark.range(0, 5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("urlkey"))
+    filt = build_cuckoo(seen, "urlkey", capacity=20000)
+    cand = spark.range(0, 5000, 500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("urlkey"))
+    # nothing novel while everything is seen
+    assert anti_join_seen(cand, seen, "urlkey", bloom=filt).count() == 0
+
+    # expire u1000 and u2500: remove from the exact table AND the filter
+    expired = ["u1000", "u2500"]
+    pairs = (spark.createDataFrame([(k,) for k in expired], ["urlkey"])
+             .select(F.xxhash64("urlkey", F.lit(1)).alias("h1"),
+                     F.xxhash64("urlkey", F.lit(2)).alias("h2")).collect())
+    assert cuckoo_delete_keys(filt, [(r["h1"], r["h2"]) for r in pairs]) == 2
+    seen2 = seen.filter(~F.col("urlkey").isin(expired))
+    got = sorted(r["urlkey"] for r in
+                 anti_join_seen(cand, seen2, "urlkey", bloom=filt).collect())
+    assert got == sorted(expired), \
+        "expired URLs must be re-admitted through the filter + exact join"
