@@ -40,7 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.udfs import extract_outlinks, surt_and_host
-from ..util import free_checkpoint
+from ..util import ensure_checkpointed, free_checkpoint
 
 __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
            "load_state", "page_cdx"]
@@ -129,7 +129,8 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
             .select("urlkey", "url", "host", "priority", "generation"))
 
 
-def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
+def distributed_top_k(df: DataFrame, order_cols, k: int,
+                      scratch: list | None = None) -> DataFrame:
     """Exact global top-k without the driver merge.
 
     ``orderBy().limit(k)`` (TakeOrderedAndProject) ships up to k rows *per
@@ -142,6 +143,11 @@ def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
     ranged = (df.repartitionByRange(*order_cols)
               .sortWithinPartitions(*order_cols)
               .localCheckpoint(eager=True))
+    if scratch is not None:
+        # the ranged checkpoint backs the returned frame; hand it to the
+        # caller so its blocks are freed once the result materializes
+        # (a per-generation leak otherwise — util.free_checkpoint)
+        scratch.append(ranged)
     counts = {r["pid"]: r["cnt"] for r in
               ranged.groupBy(F.spark_partition_id().alias("pid"))
               .agg(F.count("*").alias("cnt")).collect()}
@@ -172,7 +178,8 @@ def distributed_top_k(df: DataFrame, order_cols, k: int) -> DataFrame:
 
 def schedule(frontier: DataFrame, cfg: CrawlConfig,
              frontier_size: int | None = None,
-             host_budgets: DataFrame | None = None) -> DataFrame:
+             host_budgets: DataFrame | None = None,
+             scratch: list | None = None) -> DataFrame:
     """Politeness + priority-queue pop: per-host budget then global top-k,
     fully deterministic (urlkey tiebreaks).
 
@@ -226,7 +233,7 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig,
         return (polite.orderBy(F.desc("priority"), "urlkey")
                 .limit(cfg.global_batch))
     return distributed_top_k(polite, [F.desc("priority"), F.col("urlkey")],
-                             cfg.global_batch)
+                             cfg.global_batch, scratch=scratch)
 
 
 def page_cdx(parsed: DataFrame) -> DataFrame:
@@ -248,16 +255,31 @@ def page_cdx(parsed: DataFrame) -> DataFrame:
 
 
 def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Broadcast-join robots rules on host; drop candidates whose path
-    starts with a disallow prefix (vectorized prefix check, no UDF)."""
-    dis = (robots.filter(F.col("rule_type") == "disallow")
-           .groupBy("host").agg(F.collect_list("path_prefix").alias("bans")))
+    """Broadcast-join robots rules on host; drop candidates the rules
+    disallow, with RFC 9309 longest-match semantics: the most specific
+    matching rule wins, Allow wins a length tie — so an
+    'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/...
+    (exactly what frontier/robots.py's parser emits).  Vectorized
+    higher-order array folds, no UDF."""
+    rules = (robots.filter(F.col("rule_type").isin("allow", "disallow"))
+             .groupBy("host")
+             .agg(F.collect_list(F.when(F.col("rule_type") == "disallow",
+                                        F.col("path_prefix"))).alias("bans"),
+                  F.collect_list(F.when(F.col("rule_type") == "allow",
+                                        F.col("path_prefix")))
+                  .alias("allows")))
     path = F.regexp_replace("url", r"^https?://[^/]*", "")
-    joined = candidates.join(F.broadcast(dis), "host", "left")
-    blocked = (F.col("bans").isNotNull()
-               & F.exists(F.col("bans"),
-                          lambda b: path.startswith(b)))
-    return joined.filter(~blocked).drop("bans")
+
+    def longest_match(arr):
+        return F.aggregate(
+            F.coalesce(arr, F.array().cast("array<string>")), F.lit(-1),
+            lambda acc, p: F.when(path.startswith(p)
+                                  & (F.length(p) > acc), F.length(p))
+            .otherwise(acc))
+
+    joined = candidates.join(F.broadcast(rules), "host", "left")
+    blocked = longest_match(F.col("bans")) > longest_match(F.col("allows"))
+    return joined.filter(~blocked).drop("bans", "allows")
 
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
@@ -302,10 +324,12 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains window shuffles that must not re-execute per consumer.
     # Fused: lazily — the fetch join's broadcast build materializes it.
+    scratch: list = []
     selected = (schedule(frontier, cfg, frontier_size,
-                         host_budgets=host_budgets)
+                         host_budgets=host_budgets, scratch=scratch)
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=not fused))
+    scratch.append(selected)
 
     # fetch: small batches broadcast against the (arbitrarily large) web
     # so the pages table never shuffles; big batches pay a shuffle join
@@ -365,7 +389,6 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # seen-set: candidates anti-join seen (bloom pre-filter cuts the probe
     # volume; the exact join stays the source of truth)
     from .seen import anti_join_seen
-    scratch: list = [selected]
     novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent,
                            materialize="lazy" if fused else True,
                            scratch=scratch)
@@ -660,6 +683,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
         recent = _union_all(recent_parts) if recent_parts else None
         prev_frontier_handle = frontier   # current gen's persisted frontier
+        prev_frontier_delta = seen_parts[-1]   # lazy delta reading its blocks
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
             recent=recent, frontier_size=frontier_size, fused=fused,
@@ -769,6 +793,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         if (prev_frontier_handle is not frontier
                 and not any(h is prev_frontier_handle
                             for h in seen_handles)):
+            # the seen delta derived from this snapshot is a LAZY
+            # checkpoint; normally some job this generation already
+            # materialized it (the anti-join scans the seen union), but
+            # a path that skipped it — e.g. AQE collapsing an empty
+            # candidate leg — would otherwise leave live lineage into
+            # the blocks we are about to free
+            if any(h is prev_frontier_delta for h in seen_handles):
+                ensure_checkpointed(prev_frontier_delta)
             free_checkpoint(prev_frontier_handle)
         if compact_old is not None:
             # the in-flight checkpoint write may still read this

@@ -379,10 +379,12 @@ def build_cuckoo(df: DataFrame, key: str, capacity: int) -> CuckooFilter:
                     raise ValueError("cuckoo filter over capacity")
         yield pd.DataFrame({"buckets": [buckets.tobytes()]})
 
+    # stream the partials one at a time (toLocalIterator) so driver peak
+    # memory really is two filters, not one per input partition
+    acc = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
     parts = hashed.mapInPandas(
         to_filter, T.StructType([T.StructField("buckets", T.BinaryType())])
-    ).collect()
-    acc = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+    ).toLocalIterator()
     for row in parts:
         part = np.frombuffer(row["buckets"], dtype=np.uint16).reshape(
             n_buckets, CUCKOO_SLOTS)

@@ -43,7 +43,10 @@ def prefix_free(urls: DataFrame, col: str = "url") -> DataFrame:
     ordered scan, no checkpoints, no boundary-carry collect — the
     distributed path's 3 fixed Spark jobs otherwise dominate sub-second
     inputs."""
-    d = urls.select(col).distinct()
+    # lazy checkpoint before counting: the count materializes the
+    # distinct ONCE; both downstream paths then read the persisted
+    # blocks instead of recomputing the dedup shuffle a second time
+    d = urls.select(col).distinct().localCheckpoint(eager=False)
     n = d.count()
     if n < SMALL_LIST_ROWS:
         def scan_one(batches):

@@ -446,19 +446,13 @@ def cdx_fields(records: DataFrame, *, all_records: bool = False,
                 if not keep_excluded_flag:
                     df = df.filter(~F.col("excluded")).drop("excluded")
                 return df
-            # moderate lists: broadcast LEFT ANTI prefix join (F3) — no
-            # shuffle of the records, O(n_pfx) per record stays cheap
-            cond = F.expr("startswith(urlkey, prefix)")
-            if keep_excluded_flag:
-                hit = (excludes.withColumnRenamed("prefix", "_pfx")
-                       .withColumn("_hit", F.lit(True)))
-                df = (df.join(F.broadcast(hit),
-                              F.expr("startswith(urlkey, _pfx)"), "left")
-                      .withColumn("excluded", F.coalesce("_hit", F.lit(False)))
-                      .drop("_pfx", "_hit"))
-            else:
-                df = df.join(F.broadcast(excludes), cond, "left_anti")
-        elif len(excludes) > 0:
+            # moderate lists: collect to the driver (bounded by
+            # BNLJ_MAX_PREFIXES) and use the literal-array exists() path
+            # below — no join at all, and no duplicate output rows when
+            # prefixes overlap (a LEFT prefix join emits one row per
+            # matching prefix)
+            excludes = [r[0] for r in excludes.collect()]
+        if len(excludes) > 0:
             # small lists: JVM-side exists() over a literal array — no join,
             # no shuffle, stays inside whole-stage codegen
             arr = F.array(*[F.lit(p) for p in excludes])

@@ -37,12 +37,18 @@ _K, _TAG = "_xk", "_is_prefix"
 
 
 def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
-                        key: str = "urlkey",
-                        flag_col: str = "excluded") -> DataFrame:
+                        key: str = "urlkey", flag_col: str = "excluded",
+                        scratch: list | None = None) -> DataFrame:
     """Adds boolean ``flag_col``: True iff ``key`` starts with any prefix.
 
     ``prefixes`` is a one-column DataFrame (column ``prefix``).  Exact for
-    arbitrary lists (subsumed prefixes are collapsed internally)."""
+    arbitrary lists (subsumed prefixes are collapsed internally).
+
+    ``scratch``: optional list — the checkpoint backing the merge is
+    appended so loop-style callers can free its blocks with
+    util.free_checkpoint once the result materializes; batch callers may
+    ignore it (the blocks are bounded by the input and die with the
+    session)."""
     from .banlist import prefix_free
     spark = records.sparkSession
     pf = prefix_free(prefixes.withColumnRenamed(prefixes.columns[0], "url"))
@@ -108,20 +114,15 @@ def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
                                              g.to_numpy())]
             yield out
 
-    flagged = ranged.mapInPandas(scan, out_schema)
-    # the ranged checkpoint backs the returned lineage; hand it to the
-    # caller for freeing is overkill here — it is one generation of
-    # scratch in a batch job, freed with the session.  (Callers running
-    # this inside a loop should materialize the result and call
-    # util.free_checkpoint(ranged); exposed for that via attribute.)
-    flagged._prefix_exclude_scratch = ranged
-    return flagged
+    if scratch is not None:
+        scratch.append(ranged)
+    return ranged.mapInPandas(scan, out_schema)
 
 
 def prefix_exclude_anti(records: DataFrame, prefixes: DataFrame,
-                        key: str = "urlkey") -> DataFrame:
+                        key: str = "urlkey",
+                        scratch: list | None = None) -> DataFrame:
     """records minus every row whose ``key`` starts with any prefix."""
-    flagged = prefix_exclude_flag(records, prefixes, key=key)
-    out = flagged.filter(~F.col("excluded")).drop("excluded")
-    out._prefix_exclude_scratch = flagged._prefix_exclude_scratch
-    return out
+    flagged = prefix_exclude_flag(records, prefixes, key=key,
+                                  scratch=scratch)
+    return flagged.filter(~F.col("excluded")).drop("excluded")

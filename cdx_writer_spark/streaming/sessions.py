@@ -39,8 +39,14 @@ def stateful_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         else:
             start, last, n = None, None, 0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Arrow hands the group's micro-batch data as MULTIPLE chunks in
+        # shuffle order; sorting each chunk alone would process events
+        # out of time order and regress `last` backwards — concatenate
+        # the whole group, sort ONCE
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"]))
             for ts in pdf["ts"]:
                 t = int(ts.timestamp())
                 if last is None:

@@ -4,7 +4,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["free_checkpoint"]
+__all__ = ["free_checkpoint", "ensure_checkpointed"]
+
+
+def ensure_checkpointed(df: DataFrame) -> None:
+    """Force a LAZY ``localCheckpoint(eager=False)`` frame to materialize
+    NOW if nothing has touched it yet.
+
+    A lazy checkpoint normally materializes inside its first consumer's
+    job — but if every consumer so far could skip it (e.g. AQE
+    propagating an empty relation through a join leg), the checkpoint
+    still holds live lineage to upstream blocks.  Call this before
+    freeing those upstream blocks; it is a no-op (one py4j round-trip)
+    when the checkpoint already materialized."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            rdd = plan.rdd()
+            if not rdd.isCheckpointed():
+                df.count()
+    except Exception:
+        df.count()
 
 
 def free_checkpoint(df: DataFrame) -> None:

@@ -43,9 +43,12 @@ def simulate_crawl(pages_rows, seeds_rows, robots_rows, cfg: CrawlConfig,
                    generations: int):
     pages = {r["url"]: r for r in pages_rows}
     robots: dict[str, list[str]] = {}
+    robots_allow: dict[str, list[str]] = {}
     for r in robots_rows:
         if r["rule_type"] == "disallow":
             robots.setdefault(r["host"], []).append(r["path_prefix"])
+        elif r["rule_type"] == "allow":
+            robots_allow.setdefault(r["host"], []).append(r["path_prefix"])
 
     frontier: dict[str, list] = {}   # urlkey -> [priority, url, host, gen]
     for r in seeds_rows:
@@ -113,7 +116,12 @@ def simulate_crawl(pages_rows, seeds_rows, robots_rows, cfg: CrawlConfig,
         new_entries = {}
         for k, (pp, u_raw, h) in cand.items():
             path = re.sub(r"^https?://[^/]*", "", u_raw)
-            if any(path.startswith(b) for b in robots.get(h, [])):
+            # RFC 9309 longest-match; Allow wins ties (mirrors robots_gate)
+            d = max((len(b) for b in robots.get(h, [])
+                     if path.startswith(b)), default=-1)
+            a = max((len(b) for b in robots_allow.get(h, [])
+                     if path.startswith(b)), default=-1)
+            if d > a:
                 continue
             if k in seen:
                 continue

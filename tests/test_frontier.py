@@ -576,3 +576,22 @@ def test_cuckoo_deletion_enables_recrawl(spark):
                  anti_join_seen(cand, seen2, "urlkey", bloom=filt).collect())
     assert got == sorted(expired), \
         "expired URLs must be re-admitted through the filter + exact join"
+
+
+def test_robots_gate_allow_overrides_disallow(spark):
+    """RFC 9309 longest-match in the gate: an Allow carve-out inside a
+    Disallow admits its subtree; Allow wins length ties."""
+    from cdx_writer_spark.frontier.crawl import robots_gate
+    rules = spark.createDataFrame(
+        [("h1", "disallow", "/a/"), ("h1", "allow", "/a/pub"),
+         ("h1", "disallow", "/a/pub/sec/"),   # deeper disallow re-blocks
+         ("h2", "disallow", "/x"), ("h2", "allow", "/x")],  # tie: allow
+        ["host", "rule_type", "path_prefix"])
+    cand = spark.createDataFrame(
+        [("h1", "http://h1/a/priv/1"), ("h1", "http://h1/a/pub/ok"),
+         ("h1", "http://h1/a/pub/sec/no"), ("h1", "http://h1/other"),
+         ("h2", "http://h2/x/tie"), ("h3", "http://h3/x/norules")],
+        ["host", "url"])
+    got = sorted(r["url"] for r in robots_gate(cand, rules).collect())
+    assert got == ["http://h1/a/pub/ok", "http://h1/other",
+                   "http://h2/x/tie", "http://h3/x/norules"]

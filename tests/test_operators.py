@@ -356,3 +356,20 @@ def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
     closed = sess.join(last_sid, ["user_id", "sid"], "left_anti")
     want = sorted((r["user_id"], r["n_events"]) for r in closed.collect())
     assert got == want
+
+
+def test_cdx_fields_overlapping_prefixes_no_duplicates(spark):
+    """Overlapping exclude prefixes must not duplicate output rows in the
+    keep_excluded_flag path (the old LEFT prefix join emitted one row per
+    matching prefix)."""
+    from cdx_writer_spark.operators.cdx import cdx_fields
+    from cdx_writer_spark.sources.warc import read_warc_records
+    recs = read_warc_records(spark, "/root/reference/tests/uncompressed.arc")
+    base = cdx_fields(recs, all_records=True).count()
+    overlapping = spark.createDataFrame(
+        [("de,sueddeutsche)",), ("de,sueddeutsche)/muenchen",),
+         ("de,su",)], ["prefix"])
+    flagged = cdx_fields(recs, all_records=True, excludes=overlapping,
+                         keep_excluded_flag=True)
+    assert flagged.count() == base, "duplicated rows on overlapping prefixes"
+    assert flagged.filter("excluded").count() == 1
