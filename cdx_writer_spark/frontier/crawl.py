@@ -257,29 +257,63 @@ def page_cdx(parsed: DataFrame) -> DataFrame:
 def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Broadcast-join robots rules on host; drop candidates the rules
     disallow, with RFC 9309 longest-match semantics: the most specific
-    matching rule wins, Allow wins a length tie — so an
-    'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/...
-    (exactly what frontier/robots.py's parser emits).  Vectorized
-    higher-order array folds, no UDF."""
+    matching rule wins (specificity = rule-pattern octet length, as in
+    Google's reference matcher), Allow wins a length tie — so an
+    'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/....
+    RFC 9309 §2.2.3 special characters are supported: ``*`` in a rule
+    matches any octet sequence and a trailing ``$`` anchors the rule at
+    end-of-path.  Wildcard-free rules (the overwhelming majority in real
+    robots files) take a plain ``startswith`` fold; rules containing
+    ``*``/``$`` are translated ONCE, in the tiny per-host rules agg, to
+    anchored Java regexes and matched with ``regexp_like``.  Percent-
+    encoding equivalence is not normalized (byte-wise comparison; see
+    frontier/robots.py).  Vectorized higher-order array folds, no UDF."""
+    p = F.col("path_prefix")
+    # a '*' anywhere or a terminal '$' makes the rule a wildcard rule;
+    # a '$' mid-rule is a literal octet per the RFC's grammar
+    is_wild = p.contains("*") | p.endswith("$")
+    # literal -> anchored regex: escape Java-regex specials except '*',
+    # then '*' -> '.*', then a trailing escaped-'$' back to the anchor
+    esc = F.regexp_replace(p, r"([.\\+?\[\]^$(){}|])", r"\\$1")
+    rex = F.regexp_replace(esc, r"\*", ".*")
+    rex = F.regexp_replace(rex, r"\\\$$", r"\$")
+    wild_rule = F.struct(F.concat(F.lit("^"), rex).alias("rex"),
+                         F.length(p).alias("n"))
     rules = (robots.filter(F.col("rule_type").isin("allow", "disallow"))
              .groupBy("host")
-             .agg(F.collect_list(F.when(F.col("rule_type") == "disallow",
-                                        F.col("path_prefix"))).alias("bans"),
-                  F.collect_list(F.when(F.col("rule_type") == "allow",
-                                        F.col("path_prefix")))
-                  .alias("allows")))
+             .agg(F.collect_list(
+                      F.when((F.col("rule_type") == "disallow") & ~is_wild,
+                             p)).alias("bans"),
+                  F.collect_list(
+                      F.when((F.col("rule_type") == "allow") & ~is_wild,
+                             p)).alias("allows"),
+                  F.collect_list(
+                      F.when((F.col("rule_type") == "disallow") & is_wild,
+                             wild_rule)).alias("bans_w"),
+                  F.collect_list(
+                      F.when((F.col("rule_type") == "allow") & is_wild,
+                             wild_rule)).alias("allows_w")))
     path = F.regexp_replace("url", r"^https?://[^/]*", "")
 
-    def longest_match(arr):
-        return F.aggregate(
-            F.coalesce(arr, F.array().cast("array<string>")), F.lit(-1),
-            lambda acc, p: F.when(path.startswith(p)
-                                  & (F.length(p) > acc), F.length(p))
+    def longest_match(plain, wild):
+        lp = F.aggregate(
+            F.coalesce(plain, F.array().cast("array<string>")), F.lit(-1),
+            lambda acc, r: F.when(path.startswith(r)
+                                  & (F.length(r) > acc), F.length(r))
             .otherwise(acc))
+        lw = F.aggregate(
+            F.coalesce(wild,
+                       F.array().cast("array<struct<rex:string,n:int>>")),
+            F.lit(-1),
+            lambda acc, r: F.when(F.regexp_like(path, r["rex"])
+                                  & (r["n"] > acc), r["n"]).otherwise(acc))
+        return F.greatest(lp, lw)
 
     joined = candidates.join(F.broadcast(rules), "host", "left")
-    blocked = longest_match(F.col("bans")) > longest_match(F.col("allows"))
-    return joined.filter(~blocked).drop("bans", "allows")
+    blocked = (longest_match(F.col("bans"), F.col("bans_w"))
+               > longest_match(F.col("allows"), F.col("allows_w")))
+    return joined.filter(~blocked).drop("bans", "allows", "bans_w",
+                                        "allows_w")
 
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,

@@ -9,7 +9,13 @@ the robotstxt.org spec and RFC 9309 §2): records are groups of
 applies to agent ``*`` iff one of its User-agent lines is ``*`` (or the
 configured agent string, matched case-insensitively); ``#`` starts a
 comment; field names are case-insensitive; blank Disallow means
-"allow everything" and is dropped.
+"allow everything" and is dropped.  Rule paths may use the RFC 9309
+§2.2.3 special characters ``*`` (any octet sequence) and trailing
+``$`` (end-of-path anchor) — matching happens in
+``frontier.crawl.robots_gate``; this module only emits the raw rule
+strings.  Percent-encoding equivalence (``%2F`` vs ``/``) is NOT
+normalized: rules and URL paths are compared byte-wise, which is
+consistent for URLs that are already canonically encoded.
 
 Implementation is pure DataFrame/window algebra — no UDF:
   split body -> posexplode keeps line order -> a running count of
@@ -54,10 +60,22 @@ def robots_rules(docs: DataFrame, host_col: str = "host",
         "record", F.sum(boundary).over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
 
-    # records whose UA set names the configured agent
-    matching = (recs.filter((F.col("field") == "user-agent")
-                            & (F.lower("value") == agent.lower()))
+    # records whose UA set names the configured agent.  RFC 9309 §2.2.1
+    # precedence: when a host has records naming this agent specifically,
+    # they alone apply; otherwise the host's ``*`` records are the
+    # fallback group.  (agent == "*" selects the ``*`` records directly.)
+    ua = recs.filter(F.col("field") == "user-agent")
+    if agent == "*":
+        matching = (ua.filter(F.lower("value") == "*")
+                    .select("host", "record").distinct())
+    else:
+        specific = (ua.filter(F.lower("value") == agent.lower())
+                    .select("host", "record").distinct())
+        star = (ua.filter(F.lower("value") == "*")
                 .select("host", "record").distinct())
+        hosts_specific = specific.select("host").distinct()
+        matching = specific.unionByName(
+            star.join(hosts_specific, "host", "left_anti"))
     rules = (recs.filter(F.col("field").isin("allow", "disallow",
                                              "crawl-delay")
                          & (F.col("value") != ""))

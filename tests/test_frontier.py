@@ -595,3 +595,56 @@ def test_robots_gate_allow_overrides_disallow(spark):
     got = sorted(r["url"] for r in robots_gate(cand, rules).collect())
     assert got == ["http://h1/a/pub/ok", "http://h1/other",
                    "http://h2/x/tie", "http://h3/x/norules"]
+
+
+def test_robots_gate_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.3 special characters in the gate: '*' matches any
+    octet sequence, a trailing '$' anchors at end-of-path, regex
+    metacharacters in rules stay literal, a mid-rule '$' is a literal
+    octet, and specificity (rule octet length) still decides between a
+    wildcard Disallow and a longer Allow carve-out."""
+    from cdx_writer_spark.frontier.crawl import robots_gate
+    rules = spark.createDataFrame(
+        [("h1", "disallow", "/*?sid="),       # session-id ban, any path
+         ("h1", "allow", "/pub*?sid="),       # longer carve-out wins
+         ("h2", "disallow", "/*.pdf$"),       # anchored extension ban
+         ("h3", "disallow", "/a+(b)"),        # regex specials literal
+         ("h4", "disallow", "/x$y")],         # mid-rule '$' literal
+        ["host", "rule_type", "path_prefix"])
+    cand = spark.createDataFrame(
+        [("h1", "http://h1/p?sid=7"),         # blocked by /*?sid=
+         ("h1", "http://h1/a/b?sid=x"),       # blocked (deep path)
+         ("h1", "http://h1/p?x=1"),           # kept: no sid
+         ("h1", "http://h1/pub1?sid=3"),      # kept: allow is longer
+         ("h2", "http://h2/doc.pdf"),         # blocked: anchored hit
+         ("h2", "http://h2/doc.pdfx"),        # kept: '$' anchors
+         ("h2", "http://h2/doc.pdf?x"),       # kept: not end-of-path
+         ("h3", "http://h3/a+(b)/q"),         # blocked literally
+         ("h3", "http://h3/aab/q"),           # kept: '+' not a regex
+         ("h4", "http://h4/x$y/z"),           # blocked literally
+         ("h4", "http://h4/xy/z")],           # kept
+        ["host", "url"])
+    got = sorted(r["url"] for r in robots_gate(cand, rules).collect())
+    assert got == ["http://h1/p?x=1", "http://h1/pub1?sid=3",
+                   "http://h2/doc.pdf?x", "http://h2/doc.pdfx",
+                   "http://h3/aab/q", "http://h4/xy/z"]
+
+
+def test_robots_rules_star_fallback_for_named_agent(spark):
+    """RFC 9309 §2.2.1: a named agent uses its specific group when the
+    host has one, else falls back to the host's '*' group; hosts with
+    neither contribute nothing."""
+    from cdx_writer_spark.frontier.robots import robots_rules
+    docs = spark.createDataFrame(
+        [("spec.example",                      # has a googlebot group
+          "User-agent: googlebot\nDisallow: /g\n\n"
+          "User-agent: *\nDisallow: /star\n"),
+         ("star.example",                      # '*' group only
+          "User-agent: *\nDisallow: /s\n"),
+         ("other.example",                     # unrelated group only
+          "User-agent: bingbot\nDisallow: /b\n")],
+        ["host", "body"])
+    got = sorted(tuple(r) for r in
+                 robots_rules(docs, agent="GoogleBot").collect())
+    assert got == [("spec.example", "disallow", "/g"),
+                   ("star.example", "disallow", "/s")]
