@@ -834,6 +834,16 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             # candidate leg — would otherwise leave live lineage into
             # the blocks we are about to free
             if any(h is prev_frontier_delta for h in seen_handles):
+                if checkpoint_dir and gen == 0:
+                    # gen 0's in-flight background write unions this same
+                    # lazy seed-keys delta: a writer job planned against
+                    # the not-yet-materialized checkpoint can still be
+                    # computing from the init frontier's lineage when its
+                    # blocks are unpersisted, and lost localCheckpoint
+                    # blocks are unrecoverable (the crash would surface
+                    # at the next saver.join).  Wait for the write first;
+                    # only gen 0 pays the serialization.
+                    saver.join()
                 ensure_checkpointed(prev_frontier_delta)
             free_checkpoint(prev_frontier_handle)
         if compact_old is not None:

@@ -648,3 +648,54 @@ def test_robots_rules_star_fallback_for_named_agent(spark):
                  robots_rules(docs, agent="GoogleBot").collect())
     assert got == [("spec.example", "disallow", "/g"),
                    ("star.example", "disallow", "/s")]
+
+
+def test_resume_after_midgeneration_kill_autoshard(spark, world, tmp_path,
+                                                   monkeypatch):
+    """Kill the loop BETWEEN gen 1's checkpoint write and that
+    generation's block-freeing (write durable on disk, frees never ran),
+    then resume with the sharded-bloom auto-flip active the whole time.
+    Resume must redo exactly gen 2, re-emit no earlier urlkey, and land
+    on the same seen set and frontier as an uninterrupted run."""
+    import cdx_writer_spark.frontier.crawl as crawl_mod
+    pages, seeds, robots = world
+    ckpt = str(tmp_path / "kill_ckpt")
+    cfg = CrawlConfig(per_host_budget=2, global_batch=200,
+                      bloom_min_keys=1, bloom_auto_shard_keys=1)
+
+    saved: list[int] = []
+    real_save = crawl_mod.save_state
+    real_free = crawl_mod.free_checkpoint
+
+    def sync_start(self, *args):   # make the write synchronous so the
+        self.join()                # kill lands deterministically after it
+        real_save(*args)
+        saved.append(args[1])
+
+    def killer(df):
+        if 1 in saved:
+            raise RuntimeError("simulated kill")
+        real_free(df)
+
+    monkeypatch.setattr(crawl_mod._AsyncSave, "start", sync_start)
+    monkeypatch.setattr(crawl_mod, "free_checkpoint", killer)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_crawl(spark, pages, seeds, robots, cfg, 3, checkpoint_dir=ckpt)
+    assert saved == [0, 1], "kill must land right after gen 1's write"
+    monkeypatch.undo()
+
+    f2, s2, cdx2, m2 = run_crawl(spark, pages, seeds, robots, cfg, 3,
+                                 checkpoint_dir=ckpt, resume=True)
+    assert [m["generation"] for m in m2] == [2], "resume should redo gen 2"
+
+    ff, sf, cdxf, _ = run_crawl(spark, pages, seeds, robots, cfg, 3)
+    full = sorted((r["urlkey"], r["generation"]) for r in cdxf.collect())
+    resumed = sorted((r["urlkey"], r["generation"]) for r in cdx2.collect())
+    assert resumed == [x for x in full if x[1] == 2], \
+        "resumed run must re-emit exactly gen 2"
+    emitted_before = {k for k, g in full if g < 2}
+    assert not emitted_before & {k for k, _ in resumed}, "re-emission"
+    assert sorted(r["urlkey"] for r in s2.collect()) == \
+        sorted(r["urlkey"] for r in sf.collect()), "seen parity"
+    assert sorted(tuple(r) for r in f2.collect()) == \
+        sorted(tuple(r) for r in ff.collect()), "frontier parity"
