@@ -107,6 +107,12 @@ class CrawlConfig:
     fuse_below_rows: int = 2_000_000
     # compact the seen-set delta chain once it reaches this many parts
     seen_compact_parts: int = 32
+    # which seen-set sidecar filter the loop maintains: "bloom" (default;
+    # global broadcast with auto-flip to ShardedBloom, above) or "cuckoo"
+    # (always the sharded (shard, buckets) table from frontier/seen.py —
+    # same contract, ~2 B/key, and O(1) DELETION so recrawl expiry via
+    # run_crawl(expire_keys=...) edits the filter instead of rebuilding)
+    seen_filter: str = "bloom"
     collect_metrics: bool = True
 
 
@@ -584,11 +590,19 @@ def load_state(spark: SparkSession, root: str):
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
               robots: DataFrame | None, cfg: CrawlConfig, generations: int,
               checkpoint_dir: str | None = None, resume: bool = False,
-              host_budgets: DataFrame | None = None):
+              host_budgets: DataFrame | None = None,
+              expire_keys: DataFrame | None = None):
     """Run ``generations`` crawl steps; returns (frontier, seen, all_cdx,
     metrics list).  With ``resume``, continues from the last complete
     checkpoint and never re-emits a CDX row (idempotence via anti-join on
     already-emitted urlkeys per generation).
+
+    ``expire_keys`` (resume path): recrawl scheduling — a (urlkey) frame
+    of URLs whose revisit interval expired.  They leave the seen set and
+    the emitted-keys guard, so rediscovering them re-enqueues and
+    re-emits.  With ``seen_filter="cuckoo"`` the expiry is a DELETE
+    against the sharded filter (O(|expired|) co-grouped work) instead of
+    the O(total) rebuild every bloom variant would need.
 
     Scale bookkeeping (all O(delta) per generation, never O(total)):
     * the seen set is a UNION of per-generation checkpointed deltas — no
@@ -609,12 +623,15 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
       step materializes anyway — no dedicated count() jobs."""
     import numpy as np
 
-    from .seen import ShardedBloom, build_bloom, build_sharded_bloom, \
-        merge_sharded_blooms
+    from .seen import ShardedBloom, ShardedCuckoo, build_bloom, \
+        build_sharded_bloom, build_sharded_cuckoo, merge_sharded_blooms, \
+        sharded_cuckoo_delete, sharded_cuckoo_insert
 
+    use_cuckoo = cfg.seen_filter == "cuckoo"
     start_gen = 0
     all_metrics: list[dict] = []
     emitted_keys = None
+    pre_expire_seen = exp = None
     seen_parts: list[DataFrame]
     if resume and checkpoint_dir:
         state = load_state(spark, checkpoint_dir)
@@ -626,6 +643,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             emitted_keys = emitted[0]
             for e in emitted[1:]:
                 emitted_keys = emitted_keys.unionByName(e)
+            if expire_keys is not None:
+                # recrawl expiry: the keys leave the seen set AND the
+                # re-emission guard, so rediscovery re-enqueues them
+                exp = expire_keys.select("urlkey").distinct()
+                pre_expire_seen = seen
+                seen = seen.join(exp, "urlkey", "left_anti")
+                emitted_keys = emitted_keys.join(exp, "urlkey",
+                                                 "left_anti")
         else:
             resume = False
     from pyspark.sql import Observation
@@ -670,6 +695,22 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     recent_parts: list[DataFrame] = []   # novel keys not yet in the filter
     pending_novel = 0
 
+    if (use_cuckoo and cfg.use_bloom and pre_expire_seen is not None
+            and seen_count >= cfg.bloom_min_keys):
+        # recrawl expiry with the deletable filter: build from the
+        # PRE-expiry set once (the deployment persists this table across
+        # runs, so in production this build doesn't happen either), then
+        # DELETE the expired keys — O(|expired|) co-grouped work where
+        # any bloom variant would need an O(total) rebuild.
+        n_exp = exp.count()
+        bloom_cap = max(4 * (seen_count + n_exp), cfg.bloom_min_keys)
+        n_shards = cfg.bloom_shards or max(16, -(-bloom_cap // 16_000_000))
+        filt = build_sharded_cuckoo(pre_expire_seen, "urlkey", n_shards,
+                                    capacity=bloom_cap)
+        filt = sharded_cuckoo_delete(filt, exp, "urlkey")
+        bloom = ShardedCuckoo(filt.df.localCheckpoint(eager=True),
+                              filt.n_shards, filt.n_buckets)
+
     cdx_parts = []
     saver = _AsyncSave()
     for gen in range(start_gen, generations):
@@ -679,14 +720,28 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                  and frontier_size < cfg.fuse_below_rows)
         want_sharded = cfg.bloom_shards > 0 or (
             cfg.use_bloom and seen_count >= cfg.bloom_auto_shard_keys)
-        mode_flip = (bloom is not None
+        mode_flip = (bloom is not None and not use_cuckoo
                      and want_sharded != isinstance(bloom, ShardedBloom))
         if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
                 bloom is None or seen_count > bloom_cap or mode_flip):
             # (re)build over the full set with headroom so later generations
             # only fold in their deltas
             bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
-            if want_sharded:
+            if use_cuckoo:
+                # the cuckoo sidecar is ALWAYS the sharded table — its
+                # whole point is the 10^10 deletable path; shard sizing
+                # mirrors the sharded bloom's
+                n_shards = cfg.bloom_shards or max(
+                    16, -(-bloom_cap // 16_000_000))
+                sck = build_sharded_cuckoo(seen, "urlkey", n_shards,
+                                           capacity=bloom_cap)
+                old_bloom_df = bloom.df if isinstance(
+                    bloom, (ShardedBloom, ShardedCuckoo)) else None
+                bloom = ShardedCuckoo(sck.df.localCheckpoint(eager=True),
+                                      sck.n_shards, sck.n_buckets)
+                if old_bloom_df is not None:
+                    free_checkpoint(old_bloom_df)
+            elif want_sharded:
                 # auto-sized shards: ~16M keys (~20 MB bitmap) per shard
                 n_shards = cfg.bloom_shards or max(
                     16, -(-bloom_cap // 16_000_000))
@@ -774,7 +829,17 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             novel = metrics["novel"]
             seen_count += novel
             if bloom is not None and novel:
-                if use_sharded:
+                if isinstance(bloom, ShardedCuckoo):
+                    # insert the delta keys into their shards (co-grouped
+                    # job, like the sharded bloom's merge but an insert —
+                    # a cuckoo table can't be OR-ed)
+                    newf = sharded_cuckoo_insert(bloom, new_seen, "urlkey")
+                    old_bloom_df = bloom.df
+                    bloom = ShardedCuckoo(
+                        newf.df.localCheckpoint(eager=True),
+                        newf.n_shards, newf.n_buckets)
+                    free_checkpoint(old_bloom_df)
+                elif use_sharded:
                     # geometry from the LIVE filter (cfg.bloom_shards is 0
                     # when the sharded mode was auto-selected)
                     delta = build_sharded_bloom(

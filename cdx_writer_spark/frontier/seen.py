@@ -27,10 +27,15 @@ Three bloom deployments:
      10^10-key seen set (~12 GB of bitmap at 1% fpp) costs each executor
      task one shard (~12 GB / n_shards) and the driver nothing.
 
-Plus the CUCKOO alternative (:class:`CuckooFilter`, bottom of file) —
-same sidecar contract and ~2 bytes/key, but with O(1) DELETION
-(recrawl scheduling evicts URLs whose revisit interval expired), which
-no bloom variant supports.
+Plus the CUCKOO alternative (bottom of file) — same sidecar contract
+and ~2 bytes/key, but with O(1) DELETION (recrawl scheduling evicts
+URLs whose revisit interval expired), which no bloom variant supports.
+It comes in the same two deployments as the bloom:
+:class:`CuckooFilter` (driver-global, to ~10^8 keys) and
+:class:`ShardedCuckoo` (the 10^10 path: a (shard, buckets) table —
+built per shard with ``applyInPandas``, delta keys inserted and expired
+keys deleted by co-grouping them with their shard's row, candidates
+probed the same way; the driver never holds any bucket array).
 """
 
 from __future__ import annotations
@@ -46,7 +51,9 @@ __all__ = ["bloom_params", "build_bloom", "bloom_prefilter", "anti_join_seen",
            "ShardedBloom", "build_sharded_bloom", "merge_sharded_blooms",
            "sharded_bloom_prefilter", "CuckooFilter", "cuckoo_params",
            "build_cuckoo", "cuckoo_prefilter", "cuckoo_insert_keys",
-           "cuckoo_delete_keys"]
+           "cuckoo_delete_keys", "ShardedCuckoo", "build_sharded_cuckoo",
+           "sharded_cuckoo_insert", "sharded_cuckoo_delete",
+           "sharded_cuckoo_prefilter"]
 
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -161,6 +168,8 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "urlkey",
         return candidates.join(seen.select(key), key, "left_anti")
     if isinstance(bloom, ShardedBloom):
         flagged = sharded_bloom_prefilter(candidates, key, bloom)
+    elif isinstance(bloom, ShardedCuckoo):
+        flagged = sharded_cuckoo_prefilter(candidates, key, bloom)
     elif isinstance(bloom, CuckooFilter):
         flagged = cuckoo_prefilter(candidates, key, bloom)
     else:
@@ -334,6 +343,65 @@ def _cuckoo_alt(b: np.ndarray | int, fp, n_buckets: int):
                            & np.uint64(n_buckets - 1)).astype(np.int64))
 
 
+def _cuckoo_bulk_insert(buckets: np.ndarray, fp: np.ndarray,
+                        b1: np.ndarray, n_buckets: int) -> None:
+    """Vectorized batch insert: two batched passes fill empty slots in
+    each key's home then alternate bucket (grouping same-bucket keys with
+    a sort so every key claims a DISTINCT empty slot — holes left by
+    deletions are handled by indexing actual empty slots, not assuming
+    left-packed rows); only the residue that found both buckets full
+    takes the per-key kick loop — a small tail at the design load
+    factor.  Raises when a key cannot be placed (over capacity)."""
+    fp = np.asarray(fp, dtype=np.uint16)
+    b = np.asarray(b1, dtype=np.int64)
+    for _pass in range(2):
+        if fp.size == 0:
+            return
+        order = np.argsort(b, kind="stable")
+        bs, fs = b[order], fp[order]
+        first = np.ones(bs.size, dtype=bool)
+        first[1:] = bs[1:] != bs[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(bs.size), 0))
+        runpos = np.arange(bs.size) - run_start   # rank within its bucket
+        empty = buckets[bs] == 0                  # N x CUCKOO_SLOTS
+        ok = runpos < empty.sum(axis=1)
+        # the (runpos+1)-th empty slot of each row, hole-aware
+        cum = np.cumsum(empty, axis=1)
+        want = (cum == (runpos + 1)[:, None]) & empty
+        slot = want.argmax(axis=1)
+        buckets[bs[ok], slot[ok]] = fs[ok]
+        bs, fs = bs[~ok], fs[~ok]
+        b, fp = _cuckoo_alt(bs, fs, n_buckets), fs
+    for i in range(fp.size):
+        if not _cuckoo_insert_one(buckets, int(b[i]), int(fp[i]),
+                                  n_buckets):
+            raise ValueError("cuckoo filter over capacity")
+
+
+def _cuckoo_bulk_delete(buckets: np.ndarray, fp: np.ndarray,
+                        b1: np.ndarray, n_buckets: int) -> int:
+    """Batch delete: a vectorized membership probe finds the keys with
+    any hit; only those are walked serially (two identical fingerprints
+    deleting from the same bucket must clear two DISTINCT slots, which a
+    vectorized clear cannot order).  Returns how many were removed."""
+    fp = np.asarray(fp, dtype=np.uint16)
+    b1 = np.asarray(b1, dtype=np.int64)
+    b2 = _cuckoo_alt(b1, fp, n_buckets)
+    hit = ((buckets[b1] == fp[:, None]).any(axis=1)
+           | (buckets[b2] == fp[:, None]).any(axis=1))
+    removed = 0
+    for i in np.flatnonzero(hit):
+        f = int(fp[i])
+        for cand in (int(b1[i]), int(b2[i])):
+            slots = np.flatnonzero(buckets[cand] == f)
+            if slots.size:
+                buckets[cand, slots[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
 def _cuckoo_insert_one(buckets: np.ndarray, b: int, fp: int,
                        n_buckets: int, max_kicks: int = 500) -> bool:
     cur_b, cur_fp = int(b), int(fp)
@@ -358,11 +426,18 @@ def _cuckoo_insert_one(buckets: np.ndarray, b: int, fp: int,
 
 
 def build_cuckoo(df: DataFrame, key: str, capacity: int) -> CuckooFilter:
-    """Distributed build: each partition fills a full-geometry filter
-    over its keys (mapInPandas), the driver merges them by reinserting
-    every stored slot — possible only because the alt mapping is
-    self-inverse.  Driver peak memory = 2 partial filters, O(capacity)
-    not O(keys x partitions)."""
+    """Distributed build of the DRIVER-GLOBAL filter: each partition
+    fills a full-geometry filter over its keys (mapInPandas), the driver
+    merges them by bulk-reinserting every stored slot — possible only
+    because the alt mapping is self-inverse.  Driver peak memory = 2
+    partial filters, O(capacity) not O(keys x partitions).
+
+    SCALE LIMIT: the driver holds the merged filter (~2 B/key — ~20 GB
+    at 10^10 keys), so this variant is for seen sets to ~10^8 keys, like
+    the global bloom.  The 10^10 deployment is :class:`ShardedCuckoo`
+    below: a (shard, buckets) table with O(1) driver memory, distributed
+    build/insert/delete, the one `run_crawl(seen_filter="cuckoo")`
+    uses."""
     n_buckets = cuckoo_params(capacity)
     hashed = df.select(
         F.xxhash64(F.col(key), F.lit(1)).alias("h1"),
@@ -374,13 +449,14 @@ def build_cuckoo(df: DataFrame, key: str, capacity: int) -> CuckooFilter:
             fp, b1 = _cuckoo_fp_bucket(pdf["h1"].to_numpy(dtype=np.uint64),
                                        pdf["h2"].to_numpy(dtype=np.uint64),
                                        n_buckets)
-            for i in range(len(fp)):
-                if not _cuckoo_insert_one(buckets, b1[i], fp[i], n_buckets):
-                    raise ValueError("cuckoo filter over capacity")
+            _cuckoo_bulk_insert(buckets, fp, b1, n_buckets)
         yield pd.DataFrame({"buckets": [buckets.tobytes()]})
 
     # stream the partials one at a time (toLocalIterator) so driver peak
-    # memory really is two filters, not one per input partition
+    # memory really is two filters, not one per input partition.  The
+    # reinsertion itself is the vectorized bulk kernel — a stored slot's
+    # (bucket, fp) is a valid home-bucket insert because the alt mapping
+    # is self-inverse.
     acc = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
     parts = hashed.mapInPandas(
         to_filter, T.StructType([T.StructField("buckets", T.BinaryType())])
@@ -389,9 +465,7 @@ def build_cuckoo(df: DataFrame, key: str, capacity: int) -> CuckooFilter:
         part = np.frombuffer(row["buckets"], dtype=np.uint16).reshape(
             n_buckets, CUCKOO_SLOTS)
         bs, ss = np.nonzero(part)
-        for b, s in zip(bs, ss):
-            if not _cuckoo_insert_one(acc, b, int(part[b, s]), n_buckets):
-                raise ValueError("cuckoo filter over capacity (merge)")
+        _cuckoo_bulk_insert(acc, part[bs, ss], bs, n_buckets)
     return CuckooFilter(acc, n_buckets)
 
 
@@ -465,3 +539,134 @@ def cuckoo_prefilter(candidates: DataFrame, key: str, filt_or_bytes,
         "maybe_seen",
         might_contain(F.xxhash64(F.col(key), F.lit(1)),
                       F.xxhash64(F.col(key), F.lit(2))))
+
+# --------------------------------------------------- sharded cuckoo ----
+
+@dataclass
+class ShardedCuckoo:
+    """Distributed deletable seen-filter — the 10^10 deployment of the
+    cuckoo sidecar, mirroring :class:`ShardedBloom`: the key space is
+    split into ``n_shards`` by key-hash, each shard's (n_buckets, 4)
+    uint16 bucket array living in a ROW of a (shard int, buckets binary)
+    DataFrame.  Build fills each shard in its own ``applyInPandas`` task
+    (no driver merge at all — keys are hash-partitioned to their shard);
+    per-generation delta keys and recrawl expiries are applied by
+    co-grouping the keys with their shard's row; candidates are probed
+    the same way.  Driver memory is O(1) in the key count."""
+    df: DataFrame
+    n_shards: int
+    n_buckets: int       # per shard
+
+
+def _cuckoo_hash_cols(key: str):
+    return (F.xxhash64(F.col(key), F.lit(1)).alias("_h1"),
+            F.xxhash64(F.col(key), F.lit(2)).alias("_h2"))
+
+
+def build_sharded_cuckoo(df: DataFrame, key: str, n_shards: int,
+                         capacity: int) -> ShardedCuckoo:
+    """Build the (shard, buckets) table; ``capacity`` is TOTAL keys
+    (each shard is sized for capacity/n_shards at the design load)."""
+    n_buckets = cuckoo_params(max(capacity // n_shards, 256))
+    hashed = df.select(_shard_col(key, n_shards).alias("shard"),
+                       *_cuckoo_hash_cols(key))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+        fp, b1 = _cuckoo_fp_bucket(pdf["_h1"].to_numpy(dtype=np.uint64),
+                                   pdf["_h2"].to_numpy(dtype=np.uint64),
+                                   n_buckets)
+        _cuckoo_bulk_insert(buckets, fp, b1, n_buckets)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "buckets": [buckets.tobytes()]})
+
+    bdf = hashed.groupBy("shard").applyInPandas(
+        build, "shard int, buckets binary")
+    return ShardedCuckoo(bdf, n_shards, n_buckets)
+
+
+def _sharded_cuckoo_apply(filt: ShardedCuckoo, keys: DataFrame, key: str,
+                          op: str) -> ShardedCuckoo:
+    """New filter table with ``keys`` inserted into / deleted from their
+    shards; shards with no keys pass through untouched.  One co-grouped
+    shuffle of the (small) key delta — the bucket table itself moves
+    only between its own shuffle files, never to the driver."""
+    n_buckets = filt.n_buckets
+    hashed = keys.select(_shard_col(key, filt.n_shards).alias("shard"),
+                         *_cuckoo_hash_cols(key))
+
+    def fn(kpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if kpdf.empty:
+            return bpdf[["shard", "buckets"]]
+        if bpdf.empty:
+            if op == "delete":        # nothing stored: nothing to delete
+                return pd.DataFrame({"shard": pd.Series(dtype="int32"),
+                                     "buckets": pd.Series(dtype=object)})
+            buckets = np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+        else:
+            buckets = (np.frombuffer(bytes(bpdf["buckets"].iloc[0]),
+                                     dtype=np.uint16)
+                       .reshape(n_buckets, CUCKOO_SLOTS).copy())
+        fp, b1 = _cuckoo_fp_bucket(kpdf["_h1"].to_numpy(dtype=np.uint64),
+                                   kpdf["_h2"].to_numpy(dtype=np.uint64),
+                                   n_buckets)
+        if op == "insert":
+            _cuckoo_bulk_insert(buckets, fp, b1, n_buckets)
+        else:
+            _cuckoo_bulk_delete(buckets, fp, b1, n_buckets)
+        return pd.DataFrame({"shard": [int(kpdf["shard"].iloc[0])],
+                             "buckets": [buckets.tobytes()]})
+
+    out = (hashed.groupBy("shard").cogroup(filt.df.groupBy("shard"))
+           .applyInPandas(fn, "shard int, buckets binary"))
+    return ShardedCuckoo(out, filt.n_shards, n_buckets)
+
+
+def sharded_cuckoo_insert(filt: ShardedCuckoo, keys: DataFrame,
+                          key: str = "urlkey") -> ShardedCuckoo:
+    """Incremental maintenance: the crawl's per-generation novel keys."""
+    return _sharded_cuckoo_apply(filt, keys, key, "insert")
+
+
+def sharded_cuckoo_delete(filt: ShardedCuckoo, keys: DataFrame,
+                          key: str = "urlkey") -> ShardedCuckoo:
+    """Recrawl expiry: remove keys (known-inserted; the standard cuckoo
+    caveat applies — a (fingerprint, bucket) collision removes one copy,
+    which for the SEEN-set contract only re-admits a URL early)."""
+    return _sharded_cuckoo_apply(filt, keys, key, "delete")
+
+
+def sharded_cuckoo_prefilter(candidates: DataFrame, key: str,
+                             filt: ShardedCuckoo) -> DataFrame:
+    """Adds ``maybe_seen`` exactly like sharded_bloom_prefilter:
+    candidates hash-partition on shard, each task probes one shard's
+    bucket array; a shard with no row holds no keys."""
+    n_buckets = filt.n_buckets
+    cand = candidates.select(
+        "*", _shard_col(key, filt.n_shards).alias("_shard"),
+        *_cuckoo_hash_cols(key))
+    out_fields = [f"`{c}` {t}" for c, t in candidates.dtypes]
+    out_schema = ", ".join(out_fields + ["maybe_seen boolean"])
+    out_cols = [c for c, _ in candidates.dtypes]
+
+    def check(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        out = cpdf[out_cols].copy()
+        if bpdf.empty:
+            out["maybe_seen"] = False
+            return out
+        buckets = (np.frombuffer(bytes(bpdf["buckets"].iloc[0]),
+                                 dtype=np.uint16)
+                   .reshape(n_buckets, CUCKOO_SLOTS))
+        fp, b1 = _cuckoo_fp_bucket(cpdf["_h1"].to_numpy(dtype=np.uint64),
+                                   cpdf["_h2"].to_numpy(dtype=np.uint64),
+                                   n_buckets)
+        b2 = _cuckoo_alt(b1, fp, n_buckets)
+        out["maybe_seen"] = ((buckets[b1] == fp[:, None]).any(axis=1)
+                             | (buckets[b2] == fp[:, None]).any(axis=1))
+        return out
+
+    return (cand.groupBy("_shard")
+            .cogroup(filt.df.groupBy("shard"))
+            .applyInPandas(check, out_schema))

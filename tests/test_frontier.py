@@ -699,3 +699,116 @@ def test_resume_after_midgeneration_kill_autoshard(spark, world, tmp_path,
         sorted(r["urlkey"] for r in sf.collect()), "seen parity"
     assert sorted(tuple(r) for r in f2.collect()) == \
         sorted(tuple(r) for r in ff.collect()), "frontier parity"
+
+
+def test_sharded_cuckoo_matches_exact_1m_keys(spark):
+    """The 10^10-path cuckoo: (shard, buckets) table at 10^6 keys, O(1)
+    driver memory (no driver merge loop — the build never collects).
+    No false negatives, sane fp rate, anti-join == exact, and the
+    insert/delete co-group ops preserve the contract (delete leaves
+    holes; a later insert must fill them without clobbering)."""
+    from cdx_writer_spark.frontier.seen import (anti_join_seen,
+                                                build_sharded_cuckoo,
+                                                sharded_cuckoo_delete,
+                                                sharded_cuckoo_insert,
+                                                sharded_cuckoo_prefilter)
+    n = 1_000_000
+    seen = spark.range(0, n).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    filt = build_sharded_cuckoo(seen, "urlkey", n_shards=32, capacity=4 * n)
+
+    sample = spark.range(0, n, 97).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    fneg = (sharded_cuckoo_prefilter(sample, "urlkey", filt)
+            .filter(~F.col("maybe_seen")).count())
+    assert fneg == 0, "false negative in sharded cuckoo"
+    out = spark.range(10**8, 10**8 + 20000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    fp = (sharded_cuckoo_prefilter(out, "urlkey", filt)
+          .filter("maybe_seen").count())
+    assert fp / 20000 < 0.05, f"fp rate {fp/20000}"
+
+    cand = spark.range(n - 20000, n + 20000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    exact = sorted(r["urlkey"] for r in
+                   anti_join_seen(cand, seen, "urlkey").collect())
+    got = sorted(r["urlkey"] for r in
+                 anti_join_seen(cand, seen, "urlkey", bloom=filt).collect())
+    assert got == exact
+
+    # delete a stripe, insert a new stripe into the holes
+    dele = spark.range(0, 40000, 2).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    filt2 = sharded_cuckoo_delete(filt, dele, "urlkey")
+    newk = spark.range(10**9, 10**9 + 20000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    filt3 = sharded_cuckoo_insert(filt2, newk, "urlkey")
+    keep = spark.range(1, 40000, 2).select(
+        F.concat(F.lit("key"), F.col("id")).alias("urlkey"))
+    assert (sharded_cuckoo_prefilter(keep, "urlkey", filt3)
+            .filter(~F.col("maybe_seen")).count()) <= 3, \
+        "surviving keys vanished after the delete/insert cycle"
+    assert (sharded_cuckoo_prefilter(newk, "urlkey", filt3)
+            .filter(~F.col("maybe_seen")).count()) == 0, \
+        "hole-filling insert lost keys"
+    gone = (sharded_cuckoo_prefilter(dele, "urlkey", filt3)
+            .filter("maybe_seen").count())
+    assert gone / 20000 < 0.05, f"deleted keys still present: {gone}"
+
+
+def test_run_crawl_cuckoo_filter_equals_exact(spark, world):
+    """seen_filter='cuckoo' runs the sharded cuckoo through the WHOLE
+    loop (build, per-generation inserts, prefilter) with results
+    identical to the exact anti-join crawl."""
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
+                sorted(tuple(r) for r in f.collect()))
+
+    e = run(CrawlConfig(use_bloom=False, **base))
+    c = run(CrawlConfig(seen_filter="cuckoo", bloom_min_keys=1, **base))
+    assert e[0] == c[0], "seen differs under loop cuckoo filter"
+    assert e[1] == c[1], "cdx differs under loop cuckoo filter"
+    assert e[2] == c[2], "frontier differs under loop cuckoo filter"
+
+
+def test_recrawl_expiry_through_loop(spark, world, tmp_path):
+    """Recrawl THROUGH run_crawl: expire previously-crawled urlkeys at
+    resume; with seen_filter='cuckoo' the expiry is a sharded DELETE
+    against the live filter (no rebuild), and the resumed crawl must
+    (a) match the exact-join crawl row-for-row and (b) actually
+    re-emit rediscovered expired URLs."""
+    import shutil as _sh
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+    cfg_ck = CrawlConfig(seen_filter="cuckoo", bloom_min_keys=1, **base)
+    cfg_ex = CrawlConfig(use_bloom=False, **base)
+
+    d1 = str(tmp_path / "ck")
+    run_crawl(spark, pages, seeds, robots, cfg_ck, 2, checkpoint_dir=d1)
+    _sh.copytree(d1, str(tmp_path / "ex"))
+
+    # expire EVERYTHING emitted in gens 0-1: any rediscovery re-admits
+    emitted = spark.read.parquet(f"{d1}/gen=00000/cdx",
+                                 f"{d1}/gen=00001/cdx")
+    expired = emitted.select("urlkey").distinct()
+
+    def finish(cfg, d):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 4,
+                                    checkpoint_dir=d, resume=True,
+                                    expire_keys=expired)
+        assert [x["generation"] for x in m] == [2, 3]
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
+                sorted(tuple(r) for r in f.collect()))
+
+    ck = finish(cfg_ck, d1)
+    ex = finish(cfg_ex, str(tmp_path / "ex"))
+    assert ck == ex, "cuckoo-delete resume differs from exact resume"
+    re_emitted = {k for k, _ in ck[1]} & \
+        {r["urlkey"] for r in expired.collect()}
+    assert re_emitted, "no expired URL was re-emitted (vacuous recrawl)"
