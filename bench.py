@@ -27,7 +27,7 @@ HEADLINE = [
     "q6_forecast_filter", "politeness_topk", "running_offset",
     "prefix_exclude", "prefix_exclude_big", "robots_parse",
     "filter_stats",
-    "seen_anti_join", "union_dedup",
+    "seen_anti_join", "seen_anti_join_cuckoo", "union_dedup",
     "date_normalize", "banlist_prefix_dedup", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash16",
     "dedup_ngram_jaccard", "cosine_topk", "embedding_label_stats",

@@ -398,16 +398,27 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         fetched = pre.join(selected, "url", "inner")
     # parse once, checkpoint a SLIM projection (digest + outlinks, never the
     # raw html) — both the CDX emission and the discovery stage read it, so
-    # the web table is scanned exactly once per generation
+    # the web table is scanned exactly once per generation.  Fused: LAZY,
+    # so fetch+parse+discover+anti-join+union all materialize inside the
+    # single next-frontier job (one barrier fewer — each eager job was
+    # measured carrying ~1.5-2s of core-count-independent stage-launch +
+    # plan time at 16c); the scheduled count then can't ride an observe()
+    # (fires empty under a lazy checkpoint) — run_crawl counts the
+    # persisted parsed blocks afterwards (~0.1s job).
     from ..functions.udfs import sha1_b32
-    obs_parsed = Observation()
-    parsed = (fetched.select(
+    parsed_plan = fetched.select(
         "urlkey", "url", "warc_ts", "generation", "priority",
         sha1_b32("html").alias("checksum"),
         F.length("html").alias("html_len"),
         extract_outlinks("html", "url").alias("outlinks"))
-        .observe(obs_parsed, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True))
+    if fused:
+        obs_parsed = None
+        parsed = parsed_plan.localCheckpoint(eager=False)
+    else:
+        obs_parsed = Observation()
+        parsed = (parsed_plan
+                  .observe(obs_parsed, F.count(F.lit(1)).alias("n"))
+                  .localCheckpoint(eager=True))
     cdx = page_cdx(parsed)
 
     # discover: explode outlinks -> dedup RAW urls -> canonicalize -> dedup
@@ -463,13 +474,16 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
 
-    # parsed's eager localCheckpoint already ran its job; this get
-    # returns the recorded metric without launching anything
-    n_fetched = int(obs_parsed.get["n"])
+    # non-fused: parsed's eager localCheckpoint already ran its job; this
+    # get returns the recorded metric without launching anything.  Fused:
+    # parsed hasn't materialized yet — run_crawl fills the count in after
+    # the frontier job (which materializes it in-line) completes.
+    n_fetched = None if fused else int(obs_parsed.get["n"])
     metrics = {
         "generation": gen,
         "scheduled": n_fetched,    # == fetched == cdx rows by design
         "cdx_rows": n_fetched,
+        "_parsed": parsed if fused else None,
         # checkpointed frames with no consumer after the next frontier
         # materializes — run_crawl frees their blocks with
         # util.free_checkpoint (plain unpersist() is a no-op on
@@ -797,8 +811,16 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         vals = obs_f.get
         frontier_size = int(vals["n"])
         metrics["frontier_size"] = frontier_size
+        parsed_handle = metrics.pop("_parsed", None)
         if fused:
             metrics["novel"] = int(vals["novel"] or 0)
+            # the frontier job just materialized the lazy parsed
+            # checkpoint in-line; counting its persisted blocks is a
+            # trivial job (no recompute) and replaces the observe() the
+            # eager parse barrier used to carry
+            n_fetched = parsed_handle.count()
+            metrics["scheduled"] = n_fetched
+            metrics["cdx_rows"] = n_fetched
             # the seen delta: this generation's novel entries, read off the
             # frontier snapshot (they are exactly the generation==gen+1
             # rows), as a LAZY checkpoint — its first consumer (the next

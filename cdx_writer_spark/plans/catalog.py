@@ -334,6 +334,26 @@ WHERE NOT EXISTS (SELECT 1 FROM events s
 """
 
 
+def seen_anti_join_cuckoo(spark, sf):
+    """seen_anti_join routed through the 10^10-path ShardedCuckoo
+    sidecar (distributed build + co-grouped prefilter + exact resolve,
+    frontier/seen.py).  The filter is a PURE pre-filter — a miss skips
+    the join, a hit is resolved exactly — so the oracle is byte-for-byte
+    seen_anti_join's: any divergence is a filter false-negative bug."""
+    from ..frontier.seen import anti_join_seen, build_sharded_cuckoo
+    e = _t(spark, sf, "events")
+    cut = "2024-03-01"
+    seen = e.filter(F.col("ts") < F.lit(cut)).select("user_id").distinct()
+    cand = e.filter(F.col("ts") >= F.lit(cut)).select("user_id").distinct()
+    filt = build_sharded_cuckoo(seen, "user_id", n_shards=16,
+                                capacity=8_000_000)
+    novel = anti_join_seen(cand, seen, "user_id", bloom=filt,
+                           materialize=False)
+    return (novel.agg(
+        F.count("*").alias("new_users"),
+        F.coalesce(F.round(F.avg("user_id"), 4), F.lit(0.0)).alias("avg_uid")))
+
+
 def union_dedup(spark, sf):
     """Frontier merge (seed ∪ discovered) + dedup (SURVEY §2.8)."""
     e = _t(spark, sf, "events")
@@ -851,6 +871,7 @@ QUERIES = {
     "robots_parse": robots_parse,
     "filter_stats": filter_stats,
     "seen_anti_join": seen_anti_join,
+    "seen_anti_join_cuckoo": seen_anti_join_cuckoo,
     "union_dedup": union_dedup,
     "date_normalize": date_normalize,
     "banlist_prefix_dedup": banlist_prefix_dedup,
@@ -879,6 +900,7 @@ ORACLES = {
     "robots_parse": ORACLE_ROBOTS_PARSE,
     "filter_stats": ORACLE_FILTER_STATS,
     "seen_anti_join": ORACLE_SEEN_ANTI,
+    "seen_anti_join_cuckoo": ORACLE_SEEN_ANTI,
     "union_dedup": ORACLE_UNION_DEDUP,
     "date_normalize": ORACLE_DATE_NORMALIZE,
     "banlist_prefix_dedup": ORACLE_BANLIST,
