@@ -97,9 +97,10 @@ class CrawlConfig:
     # the bitmap is re-OR-ed + re-broadcast only when they exceed this,
     # so broadcast serialization is amortized instead of per-generation
     bloom_rebroadcast_keys: int = 250_000
-    # below this frontier size a generation runs FUSED: two jobs (parsed +
-    # next frontier) instead of 4-5, lazy localCheckpoints for the other
-    # compute-once frames, seen delta derived from the frontier snapshot.
+    # below this frontier size a generation runs FUSED: one heavy job
+    # (the next-frontier checkpoint, which materializes fetch+parse+
+    # discover in-line via lazy localCheckpoints) instead of 4-5, seen
+    # delta derived from the frontier snapshot.
     # Above it (the 10^10 production regime, where job-launch latency is
     # <1% of a generation) every stage keeps its own eager checkpoint and
     # the seen delta is a compact per-generation frame instead of a
@@ -342,21 +343,24 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     small batch sizes).
 
     ``fused`` (run_crawl turns it on while the frontier is below
-    cfg.fuse_below_rows): the generation runs as TWO jobs instead of
-    4-5.  The only eager materializations are ``parsed`` here and the
-    next frontier in run_crawl; every other compute-once frame
-    (selection, bloom-flagged candidates) uses a LAZY localCheckpoint —
-    the first job that touches it materializes+persists it in-line and
+    cfg.fuse_below_rows): the generation runs as ONE heavy job — the
+    next-frontier checkpoint in run_crawl — plus a trivial count of the
+    persisted parse blocks.  Every compute-once frame (selection,
+    parsed, bloom-flagged candidates) uses a LAZY localCheckpoint: the
+    first job that touches it materializes+persists it in-line and
     later consumers (including a second union branch of the SAME job)
     read the persisted blocks, verified compute-once on Spark 4.1.2.
     The seen delta has no job of its own either: run_crawl derives it
     from the checkpointed next frontier (generation == gen+1) as a lazy
-    checkpoint materialized by its first consumer.  The
-    4-5-job layout cost ~12s/generation of core-count-independent
-    scheduler/stage-launch latency at sandbox scale (BENCH.md workload
-    2b) — the Amdahl term behind the crawl loop's 0.26 measured scaling.
-    Observations stay on eager checkpoints only: an observe() under a
-    lazy checkpoint records nothing (verified — the metric fires empty).
+    checkpoint materialized by its first consumer.  Rationale: each
+    eager job barrier measured ~1.5-2s of core-count-independent
+    stage-launch + planning time at 16c (the 4-5-job round-2 layout
+    cost ~12s/generation — the Amdahl term behind the loop's 0.26
+    round-2 scaling; fusing the parse barrier was another interleaved
+    +10% at 16c).  Observations stay on eager checkpoints only: an
+    observe() under a lazy checkpoint records nothing (verified — the
+    metric fires empty), which is why the scheduled count is a
+    post-materialization count() instead.
     """
     from pyspark.sql import Observation
 
@@ -800,8 +804,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # anti-join) through window shuffles — materialize it once; its
         # row count (and, fused, the novel-discovery count) ride along as
         # free observe() metrics.  In fused mode this is the generation's
-        # SECOND AND LAST job: selection, discovery, bloom check, exact
-        # anti-join and union all materialize inside it.
+        # ONLY heavy job: selection, fetch, parse, discovery, bloom
+        # check, exact anti-join and union all materialize inside it.
         obs_f = Observation()
         frontier = (frontier.observe(
             obs_f, F.count(F.lit(1)).alias("n"),
