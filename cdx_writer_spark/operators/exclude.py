@@ -28,12 +28,49 @@ the prefixes riding along, and partition-count metadata at the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["prefix_exclude_flag", "prefix_exclude_anti"]
 
 _K, _TAG = "_xk", "_is_prefix"
+
+
+def _ascii_below_del(arr) -> bool:
+    """True iff every byte of every string in the Arrow array is < 0x7f
+    (memory-speed scan of the raw UTF-8 buffer, ~1 ms / 5 MB)."""
+    data = arr.buffers()[2]
+    if data is None or len(data) == 0:
+        return True
+    return int(np.frombuffer(data, dtype=np.uint8).max()) < 0x7F
+
+
+def _startswith_batch(keys: np.ndarray, gov: np.ndarray) -> np.ndarray:
+    """Per-row ``keys[i].startswith(gov[i])`` (gov entries may be null).
+
+    Fast path (pyarrow C kernels, measured 1.2-1.7x the zip loop at
+    200k-row batches, any prefix density): because ``gov`` is the
+    forward-fill of the sorted merge, ``gov <= key`` always holds, so
+    ``key.startswith(gov)  <=>  key < gov + '\\x7f'`` — PROVIDED every
+    code unit is below 0x7f.  SURT urlkeys are lowercase-ASCII by
+    construction, so the raw-buffer guard almost never trips; when it
+    does (exotic prefix lists), the exact per-row loop decides the
+    whole batch.  (Run-grouping with a vectorized startswith per run
+    was also measured: slower than the zip loop even at 11 runs/200k
+    rows — pandas per-run slicing overhead dominates.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ka = pa.array(keys, type=pa.string(), from_pandas=True)
+    ga = pa.array(gov, type=pa.string(), from_pandas=True)
+    if _ascii_below_del(ka) and _ascii_below_del(ga):
+        hi = pc.binary_join_element_wise(ga, "\x7f", "")
+        # the ge arm is implied by the ffill invariant (gov <= key) but
+        # keeps the kernel correct for arbitrary inputs at ~no cost
+        flag = pc.and_kleene(pc.greater_equal(ka, ga), pc.less(ka, hi))
+        return pc.fill_null(flag, False).to_numpy(zero_copy_only=False)
+    return np.array([isinstance(p, str) and k.startswith(p)
+                     for k, p in zip(keys, gov)], dtype=bool)
 
 
 def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
@@ -105,13 +142,9 @@ def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
             if rec.empty:
                 continue
             g = gov[~is_p]
-            # str.startswith against a per-row prefix: a plain zip loop —
-            # ~10^7 rows/s/core, and faster than pandas run-grouping at
-            # realistic prefix densities
             out = rec[cols].copy()
-            out[flag_col] = [isinstance(p, str) and k.startswith(p)
-                             for k, p in zip(rec[_K].to_numpy(),
-                                             g.to_numpy())]
+            out[flag_col] = _startswith_batch(rec[_K].to_numpy(),
+                                              g.to_numpy())
             yield out
 
     if scratch is not None:
