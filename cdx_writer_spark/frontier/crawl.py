@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -791,10 +792,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         recent = _union_all(recent_parts) if recent_parts else None
         prev_frontier_handle = frontier   # current gen's persisted frontier
         prev_frontier_delta = seen_parts[-1]   # lazy delta reading its blocks
+        _t0 = time.perf_counter()
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
             recent=recent, frontier_size=frontier_size, fused=fused,
             host_budgets=host_budgets)
+        _t1 = time.perf_counter()   # plan construction (+ fetch-bloom job)
         scratch = metrics.pop("_scratch", [])
         delta_handle = metrics.pop("_delta_handle", None)
         if emitted_keys is not None:
@@ -813,6 +816,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             .alias("novel"))
             .localCheckpoint(eager=True))
         vals = obs_f.get
+        _t2 = time.perf_counter()   # the heavy frontier job
         frontier_size = int(vals["n"])
         metrics["frontier_size"] = frontier_size
         parsed_handle = metrics.pop("_parsed", None)
@@ -895,6 +899,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 bloom_bc = sc.broadcast(bloom_bits.tobytes())
                 bloom = (bloom_bc, m, k)
                 recent_parts, pending_novel = [], 0
+        # phase walls (driver clock): plan = crawl_step call (plus the
+        # fetch-bloom job for big batches), job = the fused heavy job,
+        # post = parsed count + seen/bloom maintenance up to here
+        metrics["wall_phases"] = {
+            "plan": round(_t1 - _t0, 3), "job": round(_t2 - _t1, 3),
+            "post": round(time.perf_counter() - _t2, 3)}
         cdx_parts.append(cdx)
         all_metrics.append(metrics)
         if checkpoint_dir:

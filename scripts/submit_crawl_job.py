@@ -85,15 +85,22 @@ def main() -> None:
     cfg = CrawlConfig(per_host_budget=64, global_batch=args.batch,
                       seen_filter=args.seen_filter)
 
+    def stat() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
     def one() -> dict:
-        t0 = time.time()
+        s0, t0 = stat(), time.time()
         _f, _s, cdx, metrics = run_crawl(spark, pages, seeds, robots, cfg,
                                          args.generations)
         n_cdx = cdx.count()
         dt = time.time() - t0
+        d = [b - a for a, b in zip(s0, stat())]
         tot = sum(m["scheduled"] + m["novel"] for m in metrics)
         return {"urls_per_sec": round(tot / dt, 1), "wall": round(dt, 2),
-                "cdx": n_cdx}
+                "cdx": n_cdx, "steal_timed": d[7], "sys_timed": d[2],
+                "busy_timed": sum(d) - d[3] - d[4],
+                "phases": [m.get("wall_phases") for m in metrics]}
 
     for _ in range(args.warm):
         one()
