@@ -50,6 +50,12 @@ def get_spark(app_name: str = "cdx-writer-spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # no-op under local[N] (everything is PROCESS_LOCAL); on a real
+        # multi-executor cluster the default 3s delay-scheduling wait
+        # stalls the crawl loop's short checkpoint-block stages for whole
+        # waves (local-cluster[8,2] measured 2.2x total: see
+        # scripts/submit_crawl_job.py) — a remote fetch beats a 3s idle.
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

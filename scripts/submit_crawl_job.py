@@ -56,6 +56,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold",
                 str(64 * 1024 * 1024))
+        # the crawl loop is a chain of short stages over localCheckpoint
+        # blocks scattered across executors; the default 3s delay-
+        # scheduling wait idles cores for whole waves hunting
+        # PROCESS_LOCAL placements (measured on local-cluster[8,2]: the
+        # fused generation job ran 27s with 3/16 cores busy; =0s -> 11s).
+        # A remote block fetch costs far less than a 3s stall.
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
