@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.udfs import extract_outlinks, surt_and_host
+from ..functions.udfs import surt_and_host
 from ..util import ensure_checkpointed, free_checkpoint
 
 __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
@@ -410,12 +410,21 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # plan time at 16c); the scheduled count then can't ride an observe()
     # (fires empty under a lazy checkpoint) — run_crawl counts the
     # persisted parsed blocks afterwards (~0.1s job).
-    from ..functions.udfs import sha1_b32
+    # the page payload NEVER crosses the JVM->Python boundary: the digest
+    # is JVM expression arithmetic (sha1 + base32 bit algebra) and href
+    # extraction is regexp_extract_all inside codegen; Python receives
+    # only the slim href arrays for urljoin normalization.  Shipping raw
+    # html through Arrow (the previous layout) was the loop's largest
+    # DRAM mover — the binding resource on the bandwidth-capped 16-core
+    # side (BENCH.md), and at 100 TB/generation scale pure waste.
+    from ..functions.udfs import normalize_links, raw_hrefs_expr
+    from ..operators.cdx import sha1_b32_binary_expr
     parsed_plan = fetched.select(
         "urlkey", "url", "warc_ts", "generation", "priority",
-        sha1_b32("html").alias("checksum"),
+        sha1_b32_binary_expr(F.col("html")).alias("checksum"),
         F.length("html").alias("html_len"),
-        extract_outlinks("html", "url").alias("outlinks"))
+        normalize_links(raw_hrefs_expr(F.col("html")), F.col("url"))
+        .alias("outlinks"))
     if fused:
         obs_parsed = None
         parsed = parsed_plan.localCheckpoint(eager=False)

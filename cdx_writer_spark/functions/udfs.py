@@ -11,7 +11,56 @@ import pandas as pd
 from pyspark.sql import functions as F, types as T
 
 __all__ = ["surt_key", "url_host", "extract_text", "extract_outlinks",
-           "sha1_b32"]
+           "sha1_b32", "raw_hrefs_expr", "normalize_links",
+           "OUTLINK_HREF_RE"]
+
+# Java-regex twin of extract_outlinks' byte regex (same ASCII \s/\b
+# semantics; equivalent on valid UTF-8 — multibyte chars contain no
+# quote/space/'>' bytes, so byte-wise and char-wise scans agree)
+OUTLINK_HREF_RE = r"""(?i)<a\b[^>]*?\bhref\s*=\s*['"]?([^'">\s]+)"""
+
+
+def raw_hrefs_expr(html_col) -> "F.Column":
+    """``array<string>`` of raw href attribute values, extracted ENTIRELY
+    JVM-side (``regexp_extract_all`` inside whole-stage codegen).
+
+    Paired with ``normalize_links``, this keeps multi-KB page payloads
+    out of the JVM->Python Arrow channel: the crawl parse stage ships
+    only the extracted hrefs (~10 short strings/page) plus the base url
+    to Python for urljoin normalization — the page body itself never
+    leaves the JVM (its digest is JVM expression arithmetic too,
+    operators/cdx.py sha1_b32_expr).  At 16+ concurrent tasks the Arrow
+    transfer of raw html was the crawl loop's largest single DRAM
+    mover (BENCH.md: this host's bandwidth ceiling binds the 16-core
+    side), and at a production 100 TB/generation scale it is pure
+    waste."""
+    return F.regexp_extract_all(F.col(html_col).cast("string")
+                                if isinstance(html_col, str) else
+                                html_col.cast("string"),
+                                F.lit(OUTLINK_HREF_RE), 1)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def normalize_links(hrefs: pd.Series, base_url: pd.Series) -> pd.Series:
+    """urljoin each raw href against the page url (the live branch of the
+    reference's urljoin_and_normalize, cdx_writer.py:475-544) — the
+    Python half of the raw_hrefs_expr hybrid; input is the slim href
+    arrays, never the page bytes."""
+    from urllib.parse import urljoin
+
+    def one(args):
+        hs, base = args
+        if hs is None:
+            return []
+        out = []
+        for raw in hs:
+            try:
+                joined = urljoin(base or "", raw)
+            except ValueError:
+                continue
+            out.append(joined.replace(" ", "%20"))
+        return out
+    return pd.Series(map(one, zip(hrefs, base_url)))
 
 
 @F.pandas_udf(T.StringType())

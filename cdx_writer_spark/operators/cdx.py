@@ -78,6 +78,15 @@ def sha1_b32_expr(latin1_str: Column) -> Column:
     return _b32_of_sha1_hex(F.sha1(F.encode(latin1_str, "ISO-8859-1")))
 
 
+def sha1_b32_binary_expr(payload: Column) -> Column:
+    """sha1-base32 of a BINARY column, null-safe JVM-side (the crawl parse
+    stage's checksum — equals functions.udfs.sha1_b32 byte-for-byte,
+    pinned by tests/test_frontier.py).  The null guard matters: conv()
+    over the null hex propagates as an all-'7' string, not NULL."""
+    return F.when(payload.isNull(), F.lit(None).cast("string")) \
+        .otherwise(_b32_of_sha1_hex(F.sha1(payload)))
+
+
 def date_expr(col: Column) -> Column:
     """Field b (reference cdx_writer.py:352-376) as a pure Column expr:
     12/14/16/18-digit passthrough/truncate/pad, hex→'-', else ISO-8601."""

@@ -812,3 +812,45 @@ def test_recrawl_expiry_through_loop(spark, world, tmp_path):
     re_emitted = {k for k, _ in ck[1]} & \
         {r["urlkey"] for r in expired.collect()}
     assert re_emitted, "no expired URL was re-emitted (vacuous recrawl)"
+
+
+def test_jvm_parse_path_matches_python_udfs(spark, world):
+    """The crawl parse stage keeps page bytes JVM-side: checksum =
+    sha1+base32 expression arithmetic, outlinks = regexp_extract_all +
+    a slim normalize UDF.  Both must equal the reference Python kernels
+    (sha1_b32 / extract_outlinks) byte-for-byte — on the synth pages AND
+    on adversarial hand-written html (quote styles, missing quotes,
+    nested tags, whitespace, empty/None payloads, relative links)."""
+    from pyspark.sql import functions as F
+
+    from cdx_writer_spark.functions.udfs import (extract_outlinks,
+                                                 normalize_links,
+                                                 raw_hrefs_expr, sha1_b32)
+    from cdx_writer_spark.operators.cdx import sha1_b32_binary_expr
+
+    pages, _seeds, _robots = world
+    adversarial = [
+        ("http://ex.com/a/b", b'<a href="http://x.com/1">x</a>'
+         b"<a href='/rel/p'>r</a><a href=bare>b</a>"),
+        ("http://ex.com/", b'<A HREF = "UPPER">u</A><a id=z href="#frag">f'
+         b'</a><a href="">empty</a>'),
+        ("http://ex.com/d/", b'<a href="../up one">sp</a>'
+         b'<a data-href="no">n</a><area href="not-a">'),
+        ("http://ex.com/", "<a href=\"café/ü?q=1\">uni</a>"
+         .encode("utf-8")),
+        ("http://ex.com/", b""),
+        ("http://ex.com/", None),
+    ]
+    adv = spark.createDataFrame(
+        [(u, h) for u, h in adversarial], "url string, html binary")
+    for df in (pages.select("url", "html").limit(500), adv):
+        rows = (df.select(
+            sha1_b32("html").alias("py_sum"),
+            sha1_b32_binary_expr(F.col("html")).alias("jvm_sum"),
+            extract_outlinks("html", "url").alias("py_links"),
+            normalize_links(raw_hrefs_expr(F.col("html")), F.col("url"))
+            .alias("hy_links"))).collect()
+        assert rows
+        for r in rows:
+            assert r["py_sum"] == r["jvm_sum"]
+            assert r["py_links"] == r["hy_links"]
