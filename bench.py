@@ -151,10 +151,39 @@ def index_bench(spark, n_records: int):
             "index_sec_runs": [round(t, 3) for t in times]}
 
 
+def host_state() -> dict:
+    """~1s canary of the two host-noise axes this VM suffers (BENCH.md):
+    hypervisor steal (bursty, minutes-scale) and DRAM-bandwidth
+    contention from co-tenants (INVISIBLE to steal — healthy windows
+    measure ~10-19 GB/s single-thread here, contended ones <5).  Recorded
+    in the bench JSON so a cross-round comparison can tell a code change
+    from a bad window."""
+    try:
+        import numpy as np
+        with open("/proc/stat") as fh:
+            s0 = int(fh.readline().split()[8])
+        a = np.ones(128 * 1024 * 1024 // 8, dtype=np.int64)  # 128 MB
+        b = np.empty_like(a)
+        np.copyto(b, a)          # fault both buffers in, untimed
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 0.6:
+            np.copyto(b, a)
+            n += 1
+        dt = time.time() - t0
+        with open("/proc/stat") as fh:
+            s1 = int(fh.readline().split()[8])
+        return {"mem_gb_per_sec_1t": round(n * 0.25 / dt, 2),
+                "steal_cores": round((s1 - s0) / (100.0 * dt), 2)}
+    except Exception:
+        return {}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    host_before = host_state()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cdx_writer_spark.plans.catalog import QUERIES
@@ -255,6 +284,8 @@ def main():
         "cdx_rows_per_sec": index["cdx_rows_per_sec"],
         "crawl": crawl,
         "index": index,
+        "host_before": host_before,
+        "host_after": host_state(),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_detail.json")
@@ -275,6 +306,7 @@ def main():
         "cpus": cpus,
         "urls_per_sec": crawl["urls_per_sec"],
         "cdx_rows_per_sec": index["cdx_rows_per_sec"],
+        "host": detail["host_after"],
         "detail_file": "BENCH_detail.json",
     }))
 
