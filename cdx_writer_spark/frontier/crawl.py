@@ -56,6 +56,31 @@ def _union_all(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
+_PARSE_COLS: tuple | None = None
+
+
+def _parse_cols() -> tuple:
+    """The parse stage's projection Columns (content digest as sha1+base32
+    expression arithmetic, html length, JVM-extracted hrefs -> python
+    urljoin) — built ONCE per process and reused every generation.
+
+    Column objects are immutable unresolved-attribute expressions, reusable
+    across plans; rebuilding them per generation cost a measured ~0.3-1.3s
+    of pure driver py4j time per generation (the base32 bit-algebra tree
+    alone is ~300 nodes = hundreds of gateway round-trips), a straight
+    addition to the loop's core-count-independent Amdahl term."""
+    global _PARSE_COLS
+    if _PARSE_COLS is None:
+        from ..functions.udfs import normalize_links, raw_hrefs_expr
+        from ..operators.cdx import sha1_b32_binary_expr
+        _PARSE_COLS = (
+            sha1_b32_binary_expr(F.col("html")).alias("checksum"),
+            F.length("html").alias("html_len"),
+            normalize_links(raw_hrefs_expr(F.col("html")), F.col("url"))
+            .alias("outlinks"))
+    return _PARSE_COLS
+
+
 @dataclass
 class CrawlConfig:
     per_host_budget: int = 4       # politeness: max fetches per host per gen
@@ -262,20 +287,14 @@ def page_cdx(parsed: DataFrame) -> DataFrame:
         F.col("generation"))
 
 
-def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Broadcast-join robots rules on host; drop candidates the rules
-    disallow, with RFC 9309 longest-match semantics: the most specific
-    matching rule wins (specificity = rule-pattern octet length, as in
-    Google's reference matcher), Allow wins a length tie — so an
-    'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/....
-    RFC 9309 §2.2.3 special characters are supported: ``*`` in a rule
-    matches any octet sequence and a trailing ``$`` anchors the rule at
-    end-of-path.  Wildcard-free rules (the overwhelming majority in real
-    robots files) take a plain ``startswith`` fold; rules containing
-    ``*``/``$`` are translated ONCE, in the tiny per-host rules agg, to
-    anchored Java regexes and matched with ``regexp_like``.  Percent-
-    encoding equivalence is not normalized (byte-wise comparison; see
-    frontier/robots.py).  Vectorized higher-order array folds, no UDF."""
+def robots_rules_table(robots: DataFrame) -> DataFrame:
+    """Per-host rule aggregation feeding robots_gate — generation-invariant,
+    so run_crawl builds this plan ONCE and reuses it every generation
+    (the regex-translation expression construction alone is hundreds of
+    driver py4j calls).  Rules containing RFC 9309 §2.2.3 special
+    characters (``*`` = any octet sequence, trailing ``$`` = end anchor)
+    are translated here, in the tiny per-host agg, to anchored Java
+    regexes; wildcard-free rules stay plain prefixes."""
     p = F.col("path_prefix")
     # a '*' anywhere or a terminal '$' makes the rule a wildcard rule;
     # a '$' mid-rule is a literal octet per the RFC's grammar
@@ -287,20 +306,33 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     rex = F.regexp_replace(rex, r"\\\$$", r"\$")
     wild_rule = F.struct(F.concat(F.lit("^"), rex).alias("rex"),
                          F.length(p).alias("n"))
-    rules = (robots.filter(F.col("rule_type").isin("allow", "disallow"))
-             .groupBy("host")
-             .agg(F.collect_list(
-                      F.when((F.col("rule_type") == "disallow") & ~is_wild,
-                             p)).alias("bans"),
-                  F.collect_list(
-                      F.when((F.col("rule_type") == "allow") & ~is_wild,
-                             p)).alias("allows"),
-                  F.collect_list(
-                      F.when((F.col("rule_type") == "disallow") & is_wild,
-                             wild_rule)).alias("bans_w"),
-                  F.collect_list(
-                      F.when((F.col("rule_type") == "allow") & is_wild,
-                             wild_rule)).alias("allows_w")))
+    return (robots.filter(F.col("rule_type").isin("allow", "disallow"))
+            .groupBy("host")
+            .agg(F.collect_list(
+                     F.when((F.col("rule_type") == "disallow") & ~is_wild,
+                            p)).alias("bans"),
+                 F.collect_list(
+                     F.when((F.col("rule_type") == "allow") & ~is_wild,
+                            p)).alias("allows"),
+                 F.collect_list(
+                     F.when((F.col("rule_type") == "disallow") & is_wild,
+                            wild_rule)).alias("bans_w"),
+                 F.collect_list(
+                     F.when((F.col("rule_type") == "allow") & is_wild,
+                            wild_rule)).alias("allows_w")))
+
+
+_GATE_KEEP: "F.Column | None" = None
+
+
+def _gate_keep_col() -> "F.Column":
+    """``NOT blocked`` filter over a candidates-⋈-rules row, cached at the
+    module level (pure unresolved-attribute expression: ~100 py4j calls
+    plus four aggregate-lambda closures per build, all per-generation
+    driver time before this cache)."""
+    global _GATE_KEEP
+    if _GATE_KEEP is not None:
+        return _GATE_KEEP
     path = F.regexp_replace("url", r"^https?://[^/]*", "")
 
     def longest_match(plain, wild):
@@ -317,18 +349,38 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
                                   & (r["n"] > acc), r["n"]).otherwise(acc))
         return F.greatest(lp, lw)
 
+    _GATE_KEEP = ~(longest_match(F.col("bans"), F.col("bans_w"))
+                   > longest_match(F.col("allows"), F.col("allows_w")))
+    return _GATE_KEEP
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame | None = None,
+                rules: DataFrame | None = None) -> DataFrame:
+    """Broadcast-join robots rules on host; drop candidates the rules
+    disallow, with RFC 9309 longest-match semantics: the most specific
+    matching rule wins (specificity = rule-pattern octet length, as in
+    Google's reference matcher), Allow wins a length tie — so an
+    'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/....
+    RFC 9309 §2.2.3 special characters are supported (``*``/``$`` — see
+    robots_rules_table).  Percent-encoding equivalence is not normalized
+    (byte-wise comparison; see frontier/robots.py).  Vectorized
+    higher-order array folds, no UDF.
+
+    Pass a prebuilt ``rules`` (robots_rules_table) to skip rebuilding the
+    aggregation plan — run_crawl does, once for the whole crawl."""
+    if rules is None:
+        rules = robots_rules_table(robots)
     joined = candidates.join(F.broadcast(rules), "host", "left")
-    blocked = (longest_match(F.col("bans"), F.col("bans_w"))
-               > longest_match(F.col("allows"), F.col("allows_w")))
-    return joined.filter(~blocked).drop("bans", "allows", "bans_w",
-                                        "allows_w")
+    return joined.filter(_gate_keep_col()).drop("bans", "allows", "bans_w",
+                                                "allows_w")
 
 
 def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
                robots: DataFrame | None, cfg: CrawlConfig, gen: int,
                bloom=None, recent: DataFrame | None = None,
                frontier_size: int | None = None, fused: bool = False,
-               host_budgets: DataFrame | None = None):
+               host_budgets: DataFrame | None = None,
+               robots_rules: DataFrame | None = None):
     """One generation.  Returns (next_frontier, new_seen_keys, cdx, metrics).
 
     ``pages`` simulates the web: fetch = equi join on url.  ``bloom`` is an
@@ -365,16 +417,38 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     """
     from pyspark.sql import Observation
 
+    # sub-phase wall clocks (driver): populated into metrics["step_phases"]
+    # when SPARK_GRAFT_STEP_TIMERS=1 — diagnostics for the Amdahl-term work
+    _timers: dict[str, float] = {}
+    _timing = os.environ.get("SPARK_GRAFT_STEP_TIMERS") == "1"
+
+    def _mark(tag: str, t0: float) -> float:
+        t = time.perf_counter()
+        if _timing:
+            _timers[tag] = round(t - t0, 3)
+        return t
+
+    _t = time.perf_counter()
     # materialize the (small, batch-bounded) selection once — it feeds the
     # fetch join, the leftover anti-join and the metrics, and its lineage
     # contains window shuffles that must not re-execute per consumer.
     # Fused: lazily — the fetch join's broadcast build materializes it.
+    # (A round-4 experiment replaced this + the leftover anti-join with a
+    # single flagged "staged" checkpoint, fusing gen-0 seed dedup into the
+    # politeness window's host partitioning — interleaved same-window A/B
+    # at 16c measured it 0.81x: under AQE each lazy checkpoint's toRdd
+    # materializes its pre-final stages one driver round-trip at a time,
+    # so the fewer-exchanges layout actually serialized MORE than the
+    # eager init job it replaced, and the staged checkpoint write cost
+    # more than the broadcast anti-join it removed.  Reverted; evidence
+    # in BENCH.md.)
     scratch: list = []
     selected = (schedule(frontier, cfg, frontier_size,
                          host_budgets=host_budgets, scratch=scratch)
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=not fused))
     scratch.append(selected)
+    _t = _mark("selected_ckpt", _t)
 
     # fetch: small batches broadcast against the (arbitrarily large) web
     # so the pages table never shuffles; big batches pay a shuffle join
@@ -401,6 +475,7 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         pre = (bloom_prefilter(web, "url", fb, fm, fk)
                .filter(F.col("maybe_seen")).drop("maybe_seen"))
         fetched = pre.join(selected, "url", "inner")
+    _t = _mark("fetch_bloom", _t)
     # parse once, checkpoint a SLIM projection (digest + outlinks, never the
     # raw html) — both the CDX emission and the discovery stage read it, so
     # the web table is scanned exactly once per generation.  Fused: LAZY,
@@ -417,14 +492,9 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # html through Arrow (the previous layout) was the loop's largest
     # DRAM mover — the binding resource on the bandwidth-capped 16-core
     # side (BENCH.md), and at 100 TB/generation scale pure waste.
-    from ..functions.udfs import normalize_links, raw_hrefs_expr
-    from ..operators.cdx import sha1_b32_binary_expr
     parsed_plan = fetched.select(
-        "urlkey", "url", "warc_ts", "generation", "priority",
-        sha1_b32_binary_expr(F.col("html")).alias("checksum"),
-        F.length("html").alias("html_len"),
-        normalize_links(raw_hrefs_expr(F.col("html")), F.col("url"))
-        .alias("outlinks"))
+        "urlkey", "url", "warc_ts", "generation", "priority", *_parse_cols())
+    _t = _mark("parsed_plan_build", _t)
     if fused:
         obs_parsed = None
         parsed = parsed_plan.localCheckpoint(eager=False)
@@ -433,6 +503,7 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         parsed = (parsed_plan
                   .observe(obs_parsed, F.count(F.lit(1)).alias("n"))
                   .localCheckpoint(eager=True))
+    _t = _mark("parsed_ckpt", _t)
     cdx = page_cdx(parsed)
 
     # discover: explode outlinks -> dedup RAW urls -> canonicalize -> dedup
@@ -448,8 +519,9 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
             .groupBy("urlkey")
             .agg(F.max("parent_priority").alias("parent_priority"),
                  F.min("url").alias("url"), F.min("host").alias("host")))
-    if robots is not None:
-        cand = robots_gate(cand, robots)
+    if robots_rules is not None or robots is not None:
+        cand = robots_gate(cand, robots, rules=robots_rules)
+    _t = _mark("cand_robots_build", _t)
 
     # seen-set: candidates anti-join seen (bloom pre-filter cuts the probe
     # volume; the exact join stays the source of truth)
@@ -457,6 +529,7 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     novel = anti_join_seen(cand, seen, "urlkey", bloom=bloom, recent=recent,
                            materialize="lazy" if fused else True,
                            scratch=scratch)
+    _t = _mark("anti_join_seen", _t)
 
     new_entries = novel.select(
         "urlkey", "url", "host",
@@ -482,11 +555,13 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # selected is bounded by global_batch — broadcast when small so the
     # (much larger) frontier never shuffles for this anti-join; same
     # size gate as the fetch join above
+    _t = _mark("new_entries_ckpt", _t)
     sel_keys = selected.select("urlkey")
     leftover = frontier.join(
         F.broadcast(sel_keys) if small_batch else sel_keys,
         "urlkey", "left_anti")
     next_frontier = leftover.unionByName(new_entries)
+    _t = _mark("leftover_union_build", _t)
 
     # non-fused: parsed's eager localCheckpoint already ran its job; this
     # get returns the recorded metric without launching anything.  Fused:
@@ -506,6 +581,8 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
         # 2x over 3 repeats)
         "_scratch": scratch,
     }
+    if _timing:
+        metrics["step_phases"] = dict(_timers)
     if not fused:
         metrics["novel"] = int(obs_novel.get["n"])
         # the persisted frame behind new_seen (a projection of it): the
@@ -741,6 +818,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
     cdx_parts = []
     saver = _AsyncSave()
+    # the per-host robots rules aggregation is generation-invariant: build
+    # the plan once (its regex-translation expression construction is
+    # hundreds of driver py4j calls) and let each generation's broadcast
+    # build re-run only the tiny agg job
+    robots_rules_plan = (robots_rules_table(robots)
+                         if robots is not None else None)
     for gen in range(start_gen, generations):
         # fused small-generation mode: see crawl_step.  Off when the
         # frontier size is unknown (resume) or at production scale.
@@ -805,7 +888,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         frontier, new_seen, cdx, metrics = crawl_step(
             pages, frontier, seen, robots, cfg, gen, bloom=bloom,
             recent=recent, frontier_size=frontier_size, fused=fused,
-            host_budgets=host_budgets)
+            host_budgets=host_budgets, robots_rules=robots_rules_plan)
         _t1 = time.perf_counter()   # plan construction (+ fetch-bloom job)
         scratch = metrics.pop("_scratch", [])
         delta_handle = metrics.pop("_delta_handle", None)
