@@ -441,7 +441,14 @@ def crawl_step(pages: DataFrame, frontier: DataFrame, seen: DataFrame,
     # so the fewer-exchanges layout actually serialized MORE than the
     # eager init job it replaced, and the staged checkpoint write cost
     # more than the broadcast anti-join it removed.  Reverted; evidence
-    # in BENCH.md.)
+    # in BENCH.md.  A second round-4 experiment swapped these lazy
+    # localCheckpoints for persist() — a ~free cache mark vs 0.5-1.5s of
+    # toRdd planning — and measured 0.77x pairwise on steal-clean
+    # windows: DataFrame persist() routes through the COLUMNAR
+    # InMemoryRelation, which anti-scales under task concurrency on
+    # this host, while localCheckpoint persists raw row blocks and its
+    # toRdd pre-materialization is reused stage work.  Also reverted;
+    # evidence in BENCH.md.)
     scratch: list = []
     selected = (schedule(frontier, cfg, frontier_size,
                          host_budgets=host_budgets, scratch=scratch)
