@@ -28,7 +28,7 @@ HEADLINE = [
     "prefix_exclude", "prefix_exclude_big", "robots_parse",
     "filter_stats",
     "seen_anti_join", "seen_anti_join_cuckoo", "union_dedup",
-    "date_normalize", "banlist_prefix_dedup", "dedup_exact",
+    "date_normalize", "cdx_lookup", "banlist_prefix_dedup", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash16",
     "dedup_ngram_jaccard", "cosine_topk", "embedding_label_stats",
     "token_stats", "quality_score", "doc_fingerprint", "tumbling_window",

@@ -641,15 +641,51 @@ class _AsyncSave:
             raise err
 
 
+def _part_files(path: str) -> list[dict]:
+    """Per-partition lineage entry for one written parquet artifact:
+    the part files with their byte sizes, straight off the filesystem
+    (no Spark job)."""
+    try:
+        return sorted(
+            ({"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+             for f in os.listdir(path)
+             if f.startswith("part-") and not f.endswith(".crc")),
+            key=lambda e: e["file"])
+    except OSError:
+        return []
+
+
 def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
                cdx: DataFrame, metrics: dict):
     """Per-generation snapshot.  ``seen`` is stored as a DELTA (this
     generation's new keys; gen 0 additionally carries the seed keys) — the
     seen set grows monotonically, so rewriting the whole set per generation
     would be O(total) I/O per generation at 10^10 scale.  Resume unions the
-    deltas."""
+    deltas.
+
+    The frontier is materialized as the north rule's priority queue:
+    range-partitioned on DESCENDING priority (urlkey tiebreak) and sorted
+    within partitions, so each parquet part file covers one priority
+    range and carries min/max priority stats — a resumed scheduler that
+    wants the top of the queue prunes whole files/row groups instead of
+    scanning the frontier (and the hottest partition is the FIRST one,
+    which a streaming consumer can take alone).  The manifest records
+    per-partition lineage: every part file of every artifact with its
+    size, the parent generation, the layout contract, and the
+    generation's fetch/parse metrics (scheduled / novel / cdx_rows /
+    wall_phases ride in ``metrics``)."""
     d = _gen_dir(root, gen)
-    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    # partition count sized from the frontier (known for free from the
+    # generation's observe() metric): ~5M rows per sorted partition at
+    # scale, one file for the small frontiers of tests/sandbox runs
+    n_rows = metrics.get("frontier_size")
+    n_parts = (max(1, min(-(-n_rows // 5_000_000), 10_000))
+               if n_rows else None)
+    srt = (F.desc("priority"), F.asc("urlkey"))
+    fr_sorted = (frontier.repartitionByRange(n_parts, *srt) if n_parts
+                 else frontier.repartitionByRange(*srt))
+    (fr_sorted.sortWithinPartitions(*srt)
+     .write.mode("overwrite").parquet(os.path.join(d, "frontier")))
     seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen"))
     cdx.write.mode("overwrite").parquet(os.path.join(d, "cdx"))
     manifest = dict(metrics)
@@ -657,6 +693,12 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
     # format stamp: 'delta-v2' = per-generation seen DELTAS (union to
     # reassemble); absent = legacy full-snapshot-per-generation format
     manifest["seen_format"] = "delta-v2"
+    manifest["lineage"] = {
+        "parent_gen": gen - 1 if gen > 0 else None,
+        "frontier_layout": ["priority DESC", "urlkey ASC"],
+        "partitions": {name: _part_files(os.path.join(d, name))
+                       for name in ("frontier", "seen", "cdx")},
+    }
     with open(os.path.join(d, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
 

@@ -20,6 +20,7 @@ Operator coverage map (reference file:line in comments):
   running offset           -> running_offset    (cdx_writer.py:655-656 P10)
   seen-set anti join       -> seen_anti_join    (north_rule URL-seen)
   frontier merge           -> union_dedup
+  CDX index lookup         -> cdx_lookup        (README.md:25-27 sort contract)
   dedup: exact/minhash/jaccard/simhash
   similarity: brute-force cosine top-k (+ LSH variant in operators/)
   text: token stats, quality, fingerprints, lang-id
@@ -855,6 +856,75 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def cdx_lookup(spark, sf):
+    """Wayback-style CDX lookup — the CONSUMER side of the index artifact
+    the reference produces (the README.md:25-27 sort contract exists
+    exactly so these prefix lookups are range scans).  Each query is a
+    urlkey prefix + target timestamp; matches are the prefix range; the
+    result is the 3 temporally closest captures per query.
+
+    Scale shape (10^10-row CDX): the tiny query list broadcasts and
+    joins on its EQUI component — the SURT host segment — so the big
+    side distributes as an ordinary hash join (never a nested-loop over
+    the index); the sub-host prefix is a residual in-task filter; and on
+    the deployed sorted/bucketed CDX layout (plans/layout.py,
+    operators/cdx.py sort order) the [prefix, prefix+inf) range prunes
+    parquet row groups via min/max stats.  Temporal distance is the
+    14-digit-timestamp numeric distance (deterministic, identical
+    arithmetic on both engines); full ORDER BY tiebreaks
+    (urlkey, cdx_ts, event_id) make the top-3 unique."""
+    e = _t(spark, sf, "events")
+    cdx = e.select(
+        F.concat(F.lit("com,site"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(")/page/"),
+                 (F.col("event_id") % 997).cast("string")).alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+        "event_id")
+    qs = (e.filter(F.col("event_id") < 8)
+          .select(F.col("event_id").alias("query_id"),
+                  F.concat(F.lit("com,site"),
+                           ((F.col("event_id") * 5) % 40).cast("string"),
+                           F.lit(")/")).alias("prefix"),
+                  F.date_format("ts", "yyyyMMddHHmmss").alias("target_ts")))
+    host = F.substring_index(F.col("urlkey"), ")", 1)
+    q_host = F.expr("substr(prefix, 1, length(prefix) - 2)")
+    m = (cdx.withColumn("surt_host", host)
+         .join(F.broadcast(qs.withColumn("surt_host", q_host)), "surt_host")
+         .filter(F.col("urlkey").startswith(F.col("prefix"))))
+    dist = F.abs(F.col("cdx_ts").cast("long") -
+                 F.col("target_ts").cast("long"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(dist.asc(), F.col("urlkey").asc(), F.col("cdx_ts").asc(),
+                  F.col("event_id").asc()))
+    return (m.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("query_id", "prefix", "urlkey", "cdx_ts", "rnk"))
+
+
+ORACLE_CDX_LOOKUP = """
+WITH cdx AS (
+  SELECT 'com,site' || CAST(user_id % 40 AS VARCHAR) || ')/page/'
+             || CAST(event_id % 997 AS VARCHAR) AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS cdx_ts,
+         event_id
+  FROM events),
+q AS (
+  SELECT event_id AS query_id,
+         'com,site' || CAST((event_id * 5) % 40 AS VARCHAR) || ')/' AS prefix,
+         strftime(ts, '%Y%m%d%H%M%S') AS target_ts
+  FROM events WHERE event_id < 8),
+m AS (
+  SELECT q.query_id, q.prefix, c.urlkey, c.cdx_ts,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY abs(CAST(c.cdx_ts AS BIGINT) - CAST(q.target_ts AS BIGINT)),
+                    c.urlkey, c.cdx_ts, c.event_id) AS rnk
+  FROM cdx c
+  JOIN q ON c.urlkey LIKE q.prefix || '%')
+SELECT query_id, prefix, urlkey, cdx_ts, rnk FROM m WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -874,6 +944,7 @@ QUERIES = {
     "seen_anti_join_cuckoo": seen_anti_join_cuckoo,
     "union_dedup": union_dedup,
     "date_normalize": date_normalize,
+    "cdx_lookup": cdx_lookup,
     "banlist_prefix_dedup": banlist_prefix_dedup,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -903,6 +974,7 @@ ORACLES = {
     "seen_anti_join_cuckoo": ORACLE_SEEN_ANTI,
     "union_dedup": ORACLE_UNION_DEDUP,
     "date_normalize": ORACLE_DATE_NORMALIZE,
+    "cdx_lookup": ORACLE_CDX_LOOKUP,
     "banlist_prefix_dedup": ORACLE_BANLIST,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH,

@@ -854,3 +854,55 @@ def test_jvm_parse_path_matches_python_udfs(spark, world):
         for r in rows:
             assert r["py_sum"] == r["jvm_sum"]
             assert r["py_links"] == r["hy_links"]
+
+
+def test_checkpoint_frontier_sorted_partitions_with_lineage(spark, world,
+                                                            tmp_path):
+    """The north rule materializes the frontier checkpoint as a priority
+    queue: range-partitioned + sorted on (priority DESC, urlkey ASC), so
+    part files carry disjoint descending priority ranges (parquet min/max
+    stats prune top-of-queue scans), and the manifest records
+    per-partition lineage (every part file of every artifact + parent
+    generation + the layout contract) alongside the fetch/parse
+    metrics."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages, seeds, robots = world
+    cfg = CrawlConfig(per_host_budget=2, global_batch=200, use_bloom=False)
+    ckpt = str(tmp_path / "sorted_ckpt")
+    run_crawl(spark, pages, seeds, robots, cfg, 2, checkpoint_dir=ckpt)
+
+    d = os.path.join(ckpt, "gen=00001")
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    lin = m["lineage"]
+    assert lin["parent_gen"] == 0
+    assert lin["frontier_layout"] == ["priority DESC", "urlkey ASC"]
+    for name in ("frontier", "seen", "cdx"):
+        recorded = {e["file"] for e in lin["partitions"][name]}
+        on_disk = {f for f in os.listdir(os.path.join(d, name))
+                   if f.startswith("part-") and not f.endswith(".crc")}
+        assert recorded == on_disk and recorded, f"{name} lineage mismatch"
+        assert all(e["bytes"] > 0 for e in lin["partitions"][name])
+    # gen 0's manifest must say it has no parent
+    with open(os.path.join(ckpt, "gen=00000", "manifest.json")) as fh:
+        assert json.load(fh)["lineage"]["parent_gen"] is None
+
+    # sortedness within each part file, and disjoint descending ranges
+    # across files (file index order == range partition order)
+    files = sorted(os.path.join(d, "frontier", e["file"])
+                   for e in lin["partitions"]["frontier"])
+    prev_min = None
+    for path in files:
+        t = pq.read_table(path, columns=["priority", "urlkey"]).to_pandas()
+        if t.empty:
+            continue
+        pairs = list(zip(-t["priority"].to_numpy(), t["urlkey"].tolist()))
+        assert pairs == sorted(pairs), f"{path} not sorted"
+        if prev_min is not None:
+            assert t["priority"].max() <= prev_min, \
+                "part files must cover descending priority ranges"
+        prev_min = t["priority"].min()
