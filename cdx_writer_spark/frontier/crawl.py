@@ -44,7 +44,7 @@ from ..functions.udfs import surt_and_host
 from ..util import ensure_checkpointed, free_checkpoint
 
 __all__ = ["CrawlConfig", "init_frontier", "crawl_step", "run_crawl",
-           "load_state", "page_cdx"]
+           "load_state", "page_cdx", "frontier_top"]
 
 N_SALT = 16
 
@@ -701,6 +701,51 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
     }
     with open(os.path.join(d, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+
+
+def frontier_top(spark: SparkSession, root: str, n: int) -> DataFrame:
+    """Top-``n`` of the persisted priority queue WITHOUT scanning the
+    frontier — the operational "what crawls next" query.
+
+    The sorted-partition layout (save_state) is what makes this O(n)
+    instead of O(frontier): part files cover DISJOINT descending
+    (priority DESC, urlkey ASC) ranges in file-index order, so reading
+    files in order until ``n`` rows are accumulated is EXACT — every row
+    with priority above the cutoff lives in the files already read, and
+    ties at the cutoff sort into earlier files too (same priority ⇒
+    smaller urlkey first, and urlkey is unique in the frontier).  Row
+    counts come from parquet footers (no data read); at a 10^10-row
+    frontier a top-10^5 probe touches one ~5M-row file instead of 2000.
+
+    Falls back to a full scan + TakeOrdered for legacy checkpoints
+    without the lineage manifest."""
+    import pyarrow.parquet as pq
+
+    state_dir = None
+    for g in sorted((g for g in os.listdir(root) if g.startswith("gen=")),
+                    reverse=True):
+        mf = os.path.join(root, g, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                m = json.load(fh)
+            if m.get("complete"):
+                state_dir = os.path.join(root, g)
+                break
+    if state_dir is None:
+        raise FileNotFoundError(f"no complete checkpoint under {root}")
+    fdir = os.path.join(state_dir, "frontier")
+    order = (F.desc("priority"), F.asc("urlkey"))
+    parts = (m.get("lineage", {}).get("partitions", {}) or {}).get("frontier")
+    if not parts:   # legacy checkpoint: no layout contract recorded
+        return spark.read.parquet(fdir).orderBy(*order).limit(n)
+    subset, rows = [], 0
+    for e in parts:   # lineage order == range-partition order
+        path = os.path.join(fdir, e["file"])
+        subset.append(path)
+        rows += pq.ParquetFile(path).metadata.num_rows
+        if rows >= n:
+            break
+    return spark.read.parquet(*subset).orderBy(*order).limit(n)
 
 
 def load_state(spark: SparkSession, root: str):

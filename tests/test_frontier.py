@@ -906,3 +906,54 @@ def test_checkpoint_frontier_sorted_partitions_with_lineage(spark, world,
             assert t["priority"].max() <= prev_min, \
                 "part files must cover descending priority ranges"
         prev_min = t["priority"].min()
+
+
+def test_frontier_top_is_exact_and_reads_head_files_only(spark, tmp_path):
+    """frontier_top must equal a full-scan TakeOrdered at every n, while
+    the sorted-partition layout lets it read only the head part files
+    (range partition blocks are contiguous in the total order, so the
+    global top-n is a subset of the first files holding >= n rows)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdx_writer_spark.frontier.crawl import frontier_top, save_state
+
+    fr = spark.range(2000).selectExpr(
+        "concat('k', lpad(cast(id AS string), 6, '0')) AS urlkey",
+        "concat('http://h/', id) AS url",
+        "concat('h', id % 50) AS host",
+        "round(rand(7), 6) AS priority",
+        "0 AS generation")
+    root = str(tmp_path / "queue_ckpt")
+    # frontier_size forces ceil(17M/5M) = 4 range-partitioned part files
+    save_state(root, 0, fr, fr.select("urlkey"), fr.select("urlkey"),
+               {"frontier_size": 17_000_000})
+
+    d = os.path.join(root, "gen=00000")
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    files = [e["file"] for e in m["lineage"]["partitions"]["frontier"]]
+    assert len(files) == 4, "test needs a multi-file layout"
+    first_rows = pq.ParquetFile(
+        os.path.join(d, "frontier", files[0])).metadata.num_rows
+
+    def key(r):
+        return (-r["priority"], r["urlkey"])
+
+    full = spark.read.parquet(os.path.join(d, "frontier"))
+    for n in (7, first_rows + 50, 1999):   # 1 file / 2 files / all files
+        want = sorted(full.orderBy(F.desc("priority"), F.asc("urlkey"))
+                      .limit(n).collect(), key=key)
+        got = sorted(frontier_top(spark, root, n).collect(), key=key)
+        assert [key(r) for r in got] == [key(r) for r in want], f"n={n}"
+
+    # legacy checkpoint (no lineage block): full-scan fallback still exact
+    del m["lineage"]
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    got = sorted(frontier_top(spark, root, 7).collect(), key=key)
+    want = sorted(full.orderBy(F.desc("priority"), F.asc("urlkey"))
+                  .limit(7).collect(), key=key)
+    assert [key(r) for r in got] == [key(r) for r in want]
