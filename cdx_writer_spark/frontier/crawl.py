@@ -134,6 +134,17 @@ class CrawlConfig:
     fuse_below_rows: int = 2_000_000
     # compact the seen-set delta chain once it reaches this many parts
     seen_compact_parts: int = 32
+    # run fused BROADCAST-PATH generations (batch <=
+    # broadcast_batch_max_rows, so the fetch join has no shuffle) with
+    # AQE disabled — session value restored for other generations and at
+    # loop exit.  AQE re-plans each lazy localCheckpoint's toRdd one
+    # materialized stage at a time, a driver-serial cost with nothing to
+    # buy on a shuffle-free generation: interleaved A/B measured AQE-off
+    # at 1.69x median on the 3-generation broadcast-path loop, but
+    # 0.95x on the shuffle-join 400k-batch generation — so shuffle-join
+    # and production-scale (unfused) generations keep AQE (skew-join
+    # splitting, shuffle coalescing).  Evidence in BENCH.md.
+    aqe_off_fused: bool = True
     # which seen-set sidecar filter the loop maintains: "bloom" (default;
     # global broadcast with auto-flip to ShardedBloom, above) or "cuckoo"
     # (always the sharded (shard, buckets) table from frontier/seen.py —
@@ -918,228 +929,249 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     # build re-run only the tiny agg job
     robots_rules_plan = (robots_rules_table(robots)
                          if robots is not None else None)
-    for gen in range(start_gen, generations):
-        # fused small-generation mode: see crawl_step.  Off when the
-        # frontier size is unknown (resume) or at production scale.
-        fused = (frontier_size is not None
-                 and frontier_size < cfg.fuse_below_rows)
-        want_sharded = cfg.bloom_shards > 0 or (
-            cfg.use_bloom and seen_count >= cfg.bloom_auto_shard_keys)
-        mode_flip = (bloom is not None and not use_cuckoo
-                     and want_sharded != isinstance(bloom, ShardedBloom))
-        if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
-                bloom is None or seen_count > bloom_cap or mode_flip):
-            # (re)build over the full set with headroom so later generations
-            # only fold in their deltas
-            bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
-            if use_cuckoo:
-                # the cuckoo sidecar is ALWAYS the sharded table — its
-                # whole point is the 10^10 deletable path; shard sizing
-                # mirrors the sharded bloom's
-                n_shards = cfg.bloom_shards or max(
-                    16, -(-bloom_cap // 16_000_000))
-                sck = build_sharded_cuckoo(seen, "urlkey", n_shards,
-                                           capacity=bloom_cap)
-                old_bloom_df = bloom.df if isinstance(
-                    bloom, (ShardedBloom, ShardedCuckoo)) else None
-                bloom = ShardedCuckoo(sck.df.localCheckpoint(eager=True),
-                                      sck.n_shards, sck.n_buckets)
-                if old_bloom_df is not None:
-                    free_checkpoint(old_bloom_df)
-            elif want_sharded:
-                # auto-sized shards: ~16M keys (~20 MB bitmap) per shard
-                n_shards = cfg.bloom_shards or max(
-                    16, -(-bloom_cap // 16_000_000))
-                sb = build_sharded_bloom(seen, "urlkey", n_shards,
-                                         capacity=bloom_cap,
-                                         fpp=cfg.bloom_fpp)
-                old_bloom_df = bloom.df if isinstance(bloom, ShardedBloom) \
-                    else None
-                bloom = ShardedBloom(sb.df.localCheckpoint(eager=True),
-                                     sb.n_shards, sb.m, sb.k)
-                if old_bloom_df is not None:
-                    free_checkpoint(old_bloom_df)
-                if bloom_bc is not None:
-                    # released the superseded GLOBAL filter (auto-flip)
-                    bloom_bc.unpersist()
-                    bloom_bc, bloom_bits, bloom_mk = None, None, None
-            else:
-                b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
-                                      fpp=cfg.bloom_fpp)
-                bloom_bits = np.frombuffer(b, dtype=np.uint64).copy()
-                bloom_mk = (m, k)
-                if bloom_bc is not None:
-                    bloom_bc.unpersist()
-                bloom_bc = sc.broadcast(bloom_bits.tobytes())
-                bloom = (bloom_bc, m, k)
-            recent_parts, pending_novel = [], 0
-        use_sharded = isinstance(bloom, ShardedBloom)
-
-        recent = _union_all(recent_parts) if recent_parts else None
-        prev_frontier_handle = frontier   # current gen's persisted frontier
-        prev_frontier_delta = seen_parts[-1]   # lazy delta reading its blocks
-        _t0 = time.perf_counter()
-        frontier, new_seen, cdx, metrics = crawl_step(
-            pages, frontier, seen, robots, cfg, gen, bloom=bloom,
-            recent=recent, frontier_size=frontier_size, fused=fused,
-            host_budgets=host_budgets, robots_rules=robots_rules_plan)
-        _t1 = time.perf_counter()   # plan construction (+ fetch-bloom job)
-        scratch = metrics.pop("_scratch", [])
-        delta_handle = metrics.pop("_delta_handle", None)
-        if emitted_keys is not None:
-            cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
-                           "urlkey", "left_anti")
-        # frontier feeds two consumers next generation (schedule + leftover
-        # anti-join) through window shuffles — materialize it once; its
-        # row count (and, fused, the novel-discovery count) ride along as
-        # free observe() metrics.  In fused mode this is the generation's
-        # ONLY heavy job: selection, fetch, parse, discovery, bloom
-        # check, exact anti-join and union all materialize inside it.
-        obs_f = Observation()
-        frontier = (frontier.observe(
-            obs_f, F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("generation") == gen + 1, 1).otherwise(0))
-            .alias("novel"))
-            .localCheckpoint(eager=True))
-        vals = obs_f.get
-        _t2 = time.perf_counter()   # the heavy frontier job
-        frontier_size = int(vals["n"])
-        metrics["frontier_size"] = frontier_size
-        parsed_handle = metrics.pop("_parsed", None)
-        if fused:
-            metrics["novel"] = int(vals["novel"] or 0)
-            # the frontier job just materialized the lazy parsed
-            # checkpoint in-line; counting its persisted blocks is a
-            # trivial job (no recompute) and replaces the observe() the
-            # eager parse barrier used to carry
-            n_fetched = parsed_handle.count()
-            metrics["scheduled"] = n_fetched
-            metrics["cdx_rows"] = n_fetched
-            # the seen delta: this generation's novel entries, read off the
-            # frontier snapshot (they are exactly the generation==gen+1
-            # rows), as a LAZY checkpoint — its first consumer (the next
-            # generation's anti-join, or this generation's checkpoint
-            # write / bloom delta) materializes the compact key list
-            # in-line, after which the seen chain reads these small
-            # blocks instead of re-filtering every retained full-frontier
-            # snapshot per generation (measured ~2x on the 3-generation
-            # loop), and the superseded frontier snapshot is freed on
-            # schedule instead of being pinned by its seen part
-            new_seen = (frontier.where(F.col("generation") == gen + 1)
-                        .select("urlkey").localCheckpoint(eager=False))
-            delta_handle = new_seen
-        seen_parts.append(new_seen)
-        seen_handles.append(delta_handle)
-        compact_old: list | None = None
-        if len(seen_parts) >= cfg.seen_compact_parts:
-            # long crawls: compact the delta chain so per-part scan/task
-            # overhead stays bounded — one O(total) pass amortized over
-            # seen_compact_parts generations; the superseded backing frames
-            # are freed at the END of this generation (the recent-bloom
-            # flush below is forced first so no recent part outlives them)
-            base = _union_all(seen_parts).localCheckpoint(eager=True)
-            compact_old = [h for h in seen_handles if h is not None]
-            seen_parts, seen_handles = [base], [base]
-        seen = _union_all(seen_parts)
-        if cfg.use_bloom:
-            novel = metrics["novel"]
-            seen_count += novel
-            if bloom is not None and novel:
-                if isinstance(bloom, ShardedCuckoo):
-                    # insert the delta keys into their shards (co-grouped
-                    # job, like the sharded bloom's merge but an insert —
-                    # a cuckoo table can't be OR-ed)
-                    newf = sharded_cuckoo_insert(bloom, new_seen, "urlkey")
-                    old_bloom_df = bloom.df
-                    bloom = ShardedCuckoo(
-                        newf.df.localCheckpoint(eager=True),
-                        newf.n_shards, newf.n_buckets)
-                    free_checkpoint(old_bloom_df)
-                elif use_sharded:
-                    # geometry from the LIVE filter (cfg.bloom_shards is 0
-                    # when the sharded mode was auto-selected)
-                    delta = build_sharded_bloom(
-                        new_seen, "urlkey", bloom.n_shards, capacity=1,
-                        m=bloom.m, k=bloom.k)
-                    merged = merge_sharded_blooms(bloom, delta)
-                    old_bloom_df = bloom.df
-                    bloom = ShardedBloom(
-                        merged.df.localCheckpoint(eager=True),
-                        merged.n_shards, merged.m, merged.k)
-                    free_checkpoint(old_bloom_df)
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_orig = spark.conf.get(aqe_key, "true")
+    try:
+        for gen in range(start_gen, generations):
+            # fused small-generation mode: see crawl_step.  Off when the
+            # frontier size is unknown (resume) or at production scale.
+            fused = (frontier_size is not None
+                     and frontier_size < cfg.fuse_below_rows)
+            if cfg.aqe_off_fused:
+                # AQE re-plans every lazy localCheckpoint's toRdd one
+                # materialized stage at a time — on a SHUFFLE-FREE
+                # (broadcast-fetch) fused generation that driver-serial
+                # planning buys nothing: interleaved A/B measured
+                # AQE-off at 1.25-1.94x (median 1.69x) on the
+                # 3-generation broadcast-path loop, identical output,
+                # but 0.95x on the shuffle-join 400k-batch generation —
+                # so the toggle keys on the fetch path.  Restored for
+                # every other generation and at loop exit (BENCH.md).
+                aqe_off = (fused and cfg.global_batch
+                           <= cfg.broadcast_batch_max_rows)
+                spark.conf.set(aqe_key, "false" if aqe_off else aqe_orig)
+            want_sharded = cfg.bloom_shards > 0 or (
+                cfg.use_bloom and seen_count >= cfg.bloom_auto_shard_keys)
+            mode_flip = (bloom is not None and not use_cuckoo
+                         and want_sharded != isinstance(bloom, ShardedBloom))
+            if cfg.use_bloom and seen_count >= cfg.bloom_min_keys and (
+                    bloom is None or seen_count > bloom_cap or mode_flip):
+                # (re)build over the full set with headroom so later generations
+                # only fold in their deltas
+                bloom_cap = max(4 * seen_count, cfg.bloom_min_keys)
+                if use_cuckoo:
+                    # the cuckoo sidecar is ALWAYS the sharded table — its
+                    # whole point is the 10^10 deletable path; shard sizing
+                    # mirrors the sharded bloom's
+                    n_shards = cfg.bloom_shards or max(
+                        16, -(-bloom_cap // 16_000_000))
+                    sck = build_sharded_cuckoo(seen, "urlkey", n_shards,
+                                               capacity=bloom_cap)
+                    old_bloom_df = bloom.df if isinstance(
+                        bloom, (ShardedBloom, ShardedCuckoo)) else None
+                    bloom = ShardedCuckoo(sck.df.localCheckpoint(eager=True),
+                                          sck.n_shards, sck.n_buckets)
+                    if old_bloom_df is not None:
+                        free_checkpoint(old_bloom_df)
+                elif want_sharded:
+                    # auto-sized shards: ~16M keys (~20 MB bitmap) per shard
+                    n_shards = cfg.bloom_shards or max(
+                        16, -(-bloom_cap // 16_000_000))
+                    sb = build_sharded_bloom(seen, "urlkey", n_shards,
+                                             capacity=bloom_cap,
+                                             fpp=cfg.bloom_fpp)
+                    old_bloom_df = bloom.df if isinstance(bloom, ShardedBloom) \
+                        else None
+                    bloom = ShardedBloom(sb.df.localCheckpoint(eager=True),
+                                         sb.n_shards, sb.m, sb.k)
+                    if old_bloom_df is not None:
+                        free_checkpoint(old_bloom_df)
+                    if bloom_bc is not None:
+                        # released the superseded GLOBAL filter (auto-flip)
+                        bloom_bc.unpersist()
+                        bloom_bc, bloom_bits, bloom_mk = None, None, None
                 else:
-                    recent_parts.append(new_seen)
-                    pending_novel += novel
-            if (not use_sharded and bloom is not None and recent_parts
-                    and (pending_novel >= cfg.bloom_rebroadcast_keys
-                         or compact_old is not None)):
-                # fold pending deltas into the bitmap + re-broadcast.
-                # Forced at compaction: the recent frames read blocks that
-                # are about to be freed, so they must enter the filter
-                # first.
-                m, k = bloom_mk
-                b, _, _ = build_bloom(_union_all(recent_parts),
-                                      "urlkey", m=m, k=k)
-                bloom_bits |= np.frombuffer(b, dtype=np.uint64)
-                bloom_bc.unpersist()
-                bloom_bc = sc.broadcast(bloom_bits.tobytes())
-                bloom = (bloom_bc, m, k)
+                    b, m, k = build_bloom(seen, "urlkey", capacity=bloom_cap,
+                                          fpp=cfg.bloom_fpp)
+                    bloom_bits = np.frombuffer(b, dtype=np.uint64).copy()
+                    bloom_mk = (m, k)
+                    if bloom_bc is not None:
+                        bloom_bc.unpersist()
+                    bloom_bc = sc.broadcast(bloom_bits.tobytes())
+                    bloom = (bloom_bc, m, k)
                 recent_parts, pending_novel = [], 0
-        # phase walls (driver clock): plan = crawl_step call (plus the
-        # fetch-bloom job for big batches), job = the fused heavy job,
-        # post = parsed count + seen/bloom maintenance up to here
-        metrics["wall_phases"] = {
-            "plan": round(_t1 - _t0, 3), "job": round(_t2 - _t1, 3),
-            "post": round(time.perf_counter() - _t2, 3)}
-        cdx_parts.append(cdx)
-        all_metrics.append(metrics)
-        if checkpoint_dir:
-            # gen 0's delta also carries the seed keys so the union of
-            # deltas reconstructs the full seen set on resume.  The write
-            # runs in the background (at most one outstanding) and
-            # overlaps the next generation's compute; everything it reads
-            # (frontier ckpt, delta, parsed-backed cdx) survives this
-            # generation's frees, and the compaction branch joins first.
-            delta = (seen_parts[0].unionByName(new_seen) if gen == 0
-                     else new_seen)
-            saver.start(checkpoint_dir, gen, frontier, delta, cdx, metrics)
-        # ---- free superseded checkpoint blocks (last: everything that
-        # still reads them — frontier ckpt, bloom flush, save_state — has
-        # materialized).  A frontier snapshot that backs a live seen part
-        # (fused generations, and gen 0's seed keys) stays until the
-        # compaction that absorbs it; recent_parts never outlive their
-        # backing frames because the flush above is forced at compaction.
-        for df in scratch:
-            free_checkpoint(df)
-        if (prev_frontier_handle is not frontier
-                and not any(h is prev_frontier_handle
-                            for h in seen_handles)):
-            # the seen delta derived from this snapshot is a LAZY
-            # checkpoint; normally some job this generation already
-            # materialized it (the anti-join scans the seen union), but
-            # a path that skipped it — e.g. AQE collapsing an empty
-            # candidate leg — would otherwise leave live lineage into
-            # the blocks we are about to free
-            if any(h is prev_frontier_delta for h in seen_handles):
-                if checkpoint_dir and gen == 0:
-                    # gen 0's in-flight background write unions this same
-                    # lazy seed-keys delta: a writer job planned against
-                    # the not-yet-materialized checkpoint can still be
-                    # computing from the init frontier's lineage when its
-                    # blocks are unpersisted, and lost localCheckpoint
-                    # blocks are unrecoverable (the crash would surface
-                    # at the next saver.join).  Wait for the write first;
-                    # only gen 0 pays the serialization.
-                    saver.join()
-                ensure_checkpointed(prev_frontier_delta)
-            free_checkpoint(prev_frontier_handle)
-        if compact_old is not None:
-            # the in-flight checkpoint write may still read this
-            # generation's delta, which compaction is about to free
-            saver.join()
-            for h in compact_old:
-                if h is not frontier:
-                    free_checkpoint(h)
+            use_sharded = isinstance(bloom, ShardedBloom)
+
+            recent = _union_all(recent_parts) if recent_parts else None
+            prev_frontier_handle = frontier   # current gen's persisted frontier
+            prev_frontier_delta = seen_parts[-1]   # lazy delta reading its blocks
+            _t0 = time.perf_counter()
+            frontier, new_seen, cdx, metrics = crawl_step(
+                pages, frontier, seen, robots, cfg, gen, bloom=bloom,
+                recent=recent, frontier_size=frontier_size, fused=fused,
+                host_budgets=host_budgets, robots_rules=robots_rules_plan)
+            _t1 = time.perf_counter()   # plan construction (+ fetch-bloom job)
+            scratch = metrics.pop("_scratch", [])
+            delta_handle = metrics.pop("_delta_handle", None)
+            if emitted_keys is not None:
+                cdx = cdx.join(emitted_keys.select("urlkey").distinct(),
+                               "urlkey", "left_anti")
+            # frontier feeds two consumers next generation (schedule + leftover
+            # anti-join) through window shuffles — materialize it once; its
+            # row count (and, fused, the novel-discovery count) ride along as
+            # free observe() metrics.  In fused mode this is the generation's
+            # ONLY heavy job: selection, fetch, parse, discovery, bloom
+            # check, exact anti-join and union all materialize inside it.
+            obs_f = Observation()
+            frontier = (frontier.observe(
+                obs_f, F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("generation") == gen + 1, 1).otherwise(0))
+                .alias("novel"))
+                .localCheckpoint(eager=True))
+            vals = obs_f.get
+            _t2 = time.perf_counter()   # the heavy frontier job
+            frontier_size = int(vals["n"])
+            metrics["frontier_size"] = frontier_size
+            parsed_handle = metrics.pop("_parsed", None)
+            if fused:
+                metrics["novel"] = int(vals["novel"] or 0)
+                # the frontier job just materialized the lazy parsed
+                # checkpoint in-line; counting its persisted blocks is a
+                # trivial job (no recompute) and replaces the observe() the
+                # eager parse barrier used to carry
+                n_fetched = parsed_handle.count()
+                metrics["scheduled"] = n_fetched
+                metrics["cdx_rows"] = n_fetched
+                # the seen delta: this generation's novel entries, read off the
+                # frontier snapshot (they are exactly the generation==gen+1
+                # rows), as a LAZY checkpoint — its first consumer (the next
+                # generation's anti-join, or this generation's checkpoint
+                # write / bloom delta) materializes the compact key list
+                # in-line, after which the seen chain reads these small
+                # blocks instead of re-filtering every retained full-frontier
+                # snapshot per generation (measured ~2x on the 3-generation
+                # loop), and the superseded frontier snapshot is freed on
+                # schedule instead of being pinned by its seen part
+                new_seen = (frontier.where(F.col("generation") == gen + 1)
+                            .select("urlkey").localCheckpoint(eager=False))
+                delta_handle = new_seen
+            seen_parts.append(new_seen)
+            seen_handles.append(delta_handle)
+            compact_old: list | None = None
+            if len(seen_parts) >= cfg.seen_compact_parts:
+                # long crawls: compact the delta chain so per-part scan/task
+                # overhead stays bounded — one O(total) pass amortized over
+                # seen_compact_parts generations; the superseded backing frames
+                # are freed at the END of this generation (the recent-bloom
+                # flush below is forced first so no recent part outlives them)
+                base = _union_all(seen_parts).localCheckpoint(eager=True)
+                compact_old = [h for h in seen_handles if h is not None]
+                seen_parts, seen_handles = [base], [base]
+            seen = _union_all(seen_parts)
+            if cfg.use_bloom:
+                novel = metrics["novel"]
+                seen_count += novel
+                if bloom is not None and novel:
+                    if isinstance(bloom, ShardedCuckoo):
+                        # insert the delta keys into their shards (co-grouped
+                        # job, like the sharded bloom's merge but an insert —
+                        # a cuckoo table can't be OR-ed)
+                        newf = sharded_cuckoo_insert(bloom, new_seen, "urlkey")
+                        old_bloom_df = bloom.df
+                        bloom = ShardedCuckoo(
+                            newf.df.localCheckpoint(eager=True),
+                            newf.n_shards, newf.n_buckets)
+                        free_checkpoint(old_bloom_df)
+                    elif use_sharded:
+                        # geometry from the LIVE filter (cfg.bloom_shards is 0
+                        # when the sharded mode was auto-selected)
+                        delta = build_sharded_bloom(
+                            new_seen, "urlkey", bloom.n_shards, capacity=1,
+                            m=bloom.m, k=bloom.k)
+                        merged = merge_sharded_blooms(bloom, delta)
+                        old_bloom_df = bloom.df
+                        bloom = ShardedBloom(
+                            merged.df.localCheckpoint(eager=True),
+                            merged.n_shards, merged.m, merged.k)
+                        free_checkpoint(old_bloom_df)
+                    else:
+                        recent_parts.append(new_seen)
+                        pending_novel += novel
+                if (not use_sharded and bloom is not None and recent_parts
+                        and (pending_novel >= cfg.bloom_rebroadcast_keys
+                             or compact_old is not None)):
+                    # fold pending deltas into the bitmap + re-broadcast.
+                    # Forced at compaction: the recent frames read blocks that
+                    # are about to be freed, so they must enter the filter
+                    # first.
+                    m, k = bloom_mk
+                    b, _, _ = build_bloom(_union_all(recent_parts),
+                                          "urlkey", m=m, k=k)
+                    bloom_bits |= np.frombuffer(b, dtype=np.uint64)
+                    bloom_bc.unpersist()
+                    bloom_bc = sc.broadcast(bloom_bits.tobytes())
+                    bloom = (bloom_bc, m, k)
+                    recent_parts, pending_novel = [], 0
+            # phase walls (driver clock): plan = crawl_step call (plus the
+            # fetch-bloom job for big batches), job = the fused heavy job,
+            # post = parsed count + seen/bloom maintenance up to here
+            metrics["wall_phases"] = {
+                "plan": round(_t1 - _t0, 3), "job": round(_t2 - _t1, 3),
+                "post": round(time.perf_counter() - _t2, 3)}
+            cdx_parts.append(cdx)
+            all_metrics.append(metrics)
+            if checkpoint_dir:
+                # gen 0's delta also carries the seed keys so the union of
+                # deltas reconstructs the full seen set on resume.  The write
+                # runs in the background (at most one outstanding) and
+                # overlaps the next generation's compute; everything it reads
+                # (frontier ckpt, delta, parsed-backed cdx) survives this
+                # generation's frees, and the compaction branch joins first.
+                delta = (seen_parts[0].unionByName(new_seen) if gen == 0
+                         else new_seen)
+                saver.start(checkpoint_dir, gen, frontier, delta, cdx, metrics)
+            # ---- free superseded checkpoint blocks (last: everything that
+            # still reads them — frontier ckpt, bloom flush, save_state — has
+            # materialized).  A frontier snapshot that backs a live seen part
+            # (fused generations, and gen 0's seed keys) stays until the
+            # compaction that absorbs it; recent_parts never outlive their
+            # backing frames because the flush above is forced at compaction.
+            for df in scratch:
+                free_checkpoint(df)
+            if (prev_frontier_handle is not frontier
+                    and not any(h is prev_frontier_handle
+                                for h in seen_handles)):
+                # the seen delta derived from this snapshot is a LAZY
+                # checkpoint; normally some job this generation already
+                # materialized it (the anti-join scans the seen union), but
+                # a path that skipped it — e.g. AQE collapsing an empty
+                # candidate leg — would otherwise leave live lineage into
+                # the blocks we are about to free
+                if any(h is prev_frontier_delta for h in seen_handles):
+                    if checkpoint_dir and gen == 0:
+                        # gen 0's in-flight background write unions this same
+                        # lazy seed-keys delta: a writer job planned against
+                        # the not-yet-materialized checkpoint can still be
+                        # computing from the init frontier's lineage when its
+                        # blocks are unpersisted, and lost localCheckpoint
+                        # blocks are unrecoverable (the crash would surface
+                        # at the next saver.join).  Wait for the write first;
+                        # only gen 0 pays the serialization.
+                        saver.join()
+                    ensure_checkpointed(prev_frontier_delta)
+                free_checkpoint(prev_frontier_handle)
+            if compact_old is not None:
+                # the in-flight checkpoint write may still read this
+                # generation's delta, which compaction is about to free
+                saver.join()
+                for h in compact_old:
+                    if h is not frontier:
+                        free_checkpoint(h)
+    finally:
+        if cfg.aqe_off_fused:
+            # restore the session's AQE setting even on failure — the
+            # session outlives the loop and other queries expect it
+            spark.conf.set(aqe_key, aqe_orig)
     saver.join()
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
