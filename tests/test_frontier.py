@@ -957,3 +957,22 @@ def test_frontier_top_is_exact_and_reads_head_files_only(spark, tmp_path):
     want = sorted(full.orderBy(F.desc("priority"), F.asc("urlkey"))
                   .limit(7).collect(), key=key)
     assert [key(r) for r in got] == [key(r) for r in want]
+
+
+def test_aqe_restored_after_loop_and_on_failure(spark, world):
+    """run_crawl disables AQE for broadcast-path fused generations; the
+    session value must come back at loop exit AND when the loop dies
+    mid-generation (the session outlives the loop)."""
+    import pytest as _pytest
+
+    pages, seeds, robots = world
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    cfg = CrawlConfig(per_host_budget=2, global_batch=200)
+    run_crawl(spark, pages, seeds, robots, cfg, 1)
+    assert spark.conf.get(key) == orig, "AQE not restored after clean exit"
+
+    bad_pages = pages.select("url")   # parse stage needs warc_ts/html
+    with _pytest.raises(Exception):
+        run_crawl(spark, bad_pages, seeds, robots, cfg, 1)
+    assert spark.conf.get(key) == orig, "AQE not restored after failure"
