@@ -691,7 +691,7 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
     # scale, one file for the small frontiers of tests/sandbox runs
     n_rows = metrics.get("frontier_size")
     n_parts = (max(1, min(-(-n_rows // 5_000_000), 10_000))
-               if n_rows else None)
+               if n_rows is not None else None)
     srt = (F.desc("priority"), F.asc("urlkey"))
     fr_sorted = (frontier.repartitionByRange(n_parts, *srt) if n_parts
                  else frontier.repartitionByRange(*srt))
@@ -706,12 +706,32 @@ def save_state(root: str, gen: int, frontier: DataFrame, seen_delta: DataFrame,
     manifest["seen_format"] = "delta-v2"
     manifest["lineage"] = {
         "parent_gen": gen - 1 if gen > 0 else None,
-        "frontier_layout": ["priority DESC", "urlkey ASC"],
+        "frontier_layout": list(_FRONTIER_LAYOUT),
         "partitions": {name: _part_files(os.path.join(d, name))
                        for name in ("frontier", "seen", "cdx")},
     }
     with open(os.path.join(d, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+
+
+_FRONTIER_LAYOUT = ["priority DESC", "urlkey ASC"]
+
+
+def _latest_complete(root: str):
+    """Newest generation dir under ``root`` whose manifest says
+    complete -> (gen, dir, manifest) or None.  The single source of the
+    latest-checkpoint rule, shared by load_state and frontier_top."""
+    if not os.path.isdir(root):
+        return None
+    for g in sorted((g for g in os.listdir(root) if g.startswith("gen=")),
+                    reverse=True):
+        mf = os.path.join(root, g, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                m = json.load(fh)
+            if m.get("complete"):
+                return int(g.split("=")[1]), os.path.join(root, g), m
+    return None
 
 
 def frontier_top(spark: SparkSession, root: str, n: int) -> DataFrame:
@@ -728,26 +748,22 @@ def frontier_top(spark: SparkSession, root: str, n: int) -> DataFrame:
     counts come from parquet footers (no data read); at a 10^10-row
     frontier a top-10^5 probe touches one ~5M-row file instead of 2000.
 
-    Falls back to a full scan + TakeOrdered for legacy checkpoints
-    without the lineage manifest."""
+    The manifest's declared ``frontier_layout`` gates the pruning:
+    legacy checkpoints without lineage, or any future/foreign layout,
+    fall back to a full scan + TakeOrdered instead of silently reading
+    the wrong files."""
     import pyarrow.parquet as pq
 
-    state_dir = None
-    for g in sorted((g for g in os.listdir(root) if g.startswith("gen=")),
-                    reverse=True):
-        mf = os.path.join(root, g, "manifest.json")
-        if os.path.exists(mf):
-            with open(mf) as fh:
-                m = json.load(fh)
-            if m.get("complete"):
-                state_dir = os.path.join(root, g)
-                break
-    if state_dir is None:
+    state = _latest_complete(root)
+    if state is None:
         raise FileNotFoundError(f"no complete checkpoint under {root}")
+    _gen, state_dir, m = state
     fdir = os.path.join(state_dir, "frontier")
     order = (F.desc("priority"), F.asc("urlkey"))
-    parts = (m.get("lineage", {}).get("partitions", {}) or {}).get("frontier")
-    if not parts:   # legacy checkpoint: no layout contract recorded
+    lin = m.get("lineage") or {}
+    parts = (lin.get("partitions") or {}).get("frontier")
+    if not parts or lin.get("frontier_layout") != _FRONTIER_LAYOUT:
+        # legacy checkpoint, or a layout this reader doesn't understand
         return spark.read.parquet(fdir).orderBy(*order).limit(n)
     subset, rows = [], 0
     for e in parts:   # lineage order == range-partition order
@@ -763,38 +779,30 @@ def load_state(spark: SparkSession, root: str):
     """Latest complete checkpoint -> (gen, frontier, seen, metrics) or None.
     ``seen`` is reassembled as the union of the per-generation deltas up to
     and including the returned generation."""
-    if not os.path.isdir(root):
+    state = _latest_complete(root)
+    if state is None:
         return None
-    gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
-    for g in reversed(gens):
-        mf = os.path.join(root, g, "manifest.json")
-        if os.path.exists(mf):
-            with open(mf) as f:
-                m = json.load(f)
-            if m.get("complete"):
-                gen = int(g.split("=")[1])
-                fr = spark.read.parquet(os.path.join(root, g, "frontier"))
-                # assemble the seen set newest-first, checking EACH
-                # generation's own manifest: a delta-v2 gen contributes its
-                # delta and the walk continues; a legacy gen stored the FULL
-                # set, superseding everything before it — stop there.
-                # (Deciding from only the latest manifest would union legacy
-                # FULL snapshots as if they were deltas after a resume that
-                # appended delta-v2 gens to a legacy dir, duplicating the
-                # seen set ~gen-fold and inflating the bloom sizing.)
-                parts = []
-                for i in range(gen, -1, -1):
-                    parts.append(os.path.join(_gen_dir(root, i), "seen"))
-                    mfi = os.path.join(_gen_dir(root, i), "manifest.json")
-                    fmt = None
-                    if os.path.exists(mfi):
-                        with open(mfi) as fh:
-                            fmt = json.load(fh).get("seen_format")
-                    if fmt != "delta-v2":
-                        break
-                seen = spark.read.parquet(*parts)
-                return gen, fr, seen, m
-    return None
+    gen, state_dir, m = state
+    fr = spark.read.parquet(os.path.join(state_dir, "frontier"))
+    # assemble the seen set newest-first, checking EACH generation's own
+    # manifest: a delta-v2 gen contributes its delta and the walk
+    # continues; a legacy gen stored the FULL set, superseding everything
+    # before it — stop there.  (Deciding from only the latest manifest
+    # would union legacy FULL snapshots as if they were deltas after a
+    # resume that appended delta-v2 gens to a legacy dir, duplicating the
+    # seen set ~gen-fold and inflating the bloom sizing.)
+    parts = []
+    for i in range(gen, -1, -1):
+        parts.append(os.path.join(_gen_dir(root, i), "seen"))
+        mfi = os.path.join(_gen_dir(root, i), "manifest.json")
+        fmt = None
+        if os.path.exists(mfi):
+            with open(mfi) as fh:
+                fmt = json.load(fh).get("seen_format")
+        if fmt != "delta-v2":
+            break
+    seen = spark.read.parquet(*parts)
+    return gen, fr, seen, m
 
 
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
@@ -947,9 +955,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 # but 0.95x on the shuffle-join 400k-batch generation —
                 # so the toggle keys on the fetch path.  Restored for
                 # every other generation and at loop exit (BENCH.md).
+                # The conf is SESSION-wide and the async checkpoint
+                # writer plans jobs from a background thread, so the
+                # value is only ever flipped after joining any in-flight
+                # write — in a homogeneous run it is set once at gen 0
+                # (no writer is outstanding yet) and every overlapped
+                # save then plans under the same, intended setting.
                 aqe_off = (fused and cfg.global_batch
                            <= cfg.broadcast_batch_max_rows)
-                spark.conf.set(aqe_key, "false" if aqe_off else aqe_orig)
+                want = "false" if aqe_off else aqe_orig
+                if spark.conf.get(aqe_key) != want:
+                    saver.join()
+                    spark.conf.set(aqe_key, want)
             want_sharded = cfg.bloom_shards > 0 or (
                 cfg.use_bloom and seen_count >= cfg.bloom_auto_shard_keys)
             mode_flip = (bloom is not None and not use_cuckoo
@@ -1168,11 +1185,19 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     if h is not frontier:
                         free_checkpoint(h)
     finally:
-        if cfg.aqe_off_fused:
-            # restore the session's AQE setting even on failure — the
-            # session outlives the loop and other queries expect it
-            spark.conf.set(aqe_key, aqe_orig)
-    saver.join()
+        # join the background writer on EVERY exit: a mid-loop failure
+        # must not leak a still-running checkpoint write (an immediate
+        # resume retry could race it on the same gen directory) or
+        # swallow an error the writer captured.  If both the loop and
+        # the writer failed, the writer's error propagates with the
+        # loop's attached as __context__.  The AQE restore runs last —
+        # the session outlives the loop and other queries expect the
+        # original setting — and never while a write is in flight.
+        try:
+            saver.join()
+        finally:
+            if cfg.aqe_off_fused:
+                spark.conf.set(aqe_key, aqe_orig)
     all_cdx = cdx_parts[0] if cdx_parts else None
     for c in cdx_parts[1:]:
         all_cdx = all_cdx.unionByName(c)

@@ -887,7 +887,11 @@ def cdx_lookup(spark, sf):
                            F.lit(")/")).alias("prefix"),
                   F.date_format("ts", "yyyyMMddHHmmss").alias("target_ts")))
     host = F.substring_index(F.col("urlkey"), ")", 1)
-    q_host = F.expr("substr(prefix, 1, length(prefix) - 2)")
+    # the prefix's host segment, derived the same way as the CDX side's
+    # (everything before the first ')') so sub-host prefixes like
+    # 'com,site5)/page/' still join on their host instead of silently
+    # matching nothing
+    q_host = F.substring_index(F.col("prefix"), ")", 1)
     m = (cdx.withColumn("surt_host", host)
          .join(F.broadcast(qs.withColumn("surt_host", q_host)), "surt_host")
          .filter(F.col("urlkey").startswith(F.col("prefix"))))

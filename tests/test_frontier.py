@@ -949,13 +949,21 @@ def test_frontier_top_is_exact_and_reads_head_files_only(spark, tmp_path):
         got = sorted(frontier_top(spark, root, n).collect(), key=key)
         assert [key(r) for r in got] == [key(r) for r in want], f"n={n}"
 
+    # a FOREIGN declared layout must disable pruning (full-scan fallback),
+    # not silently read the wrong head files
+    want = sorted(full.orderBy(F.desc("priority"), F.asc("urlkey"))
+                  .limit(7).collect(), key=key)
+    m["lineage"]["frontier_layout"] = ["warc_ts ASC"]
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    got = sorted(frontier_top(spark, root, 7).collect(), key=key)
+    assert [key(r) for r in got] == [key(r) for r in want]
+
     # legacy checkpoint (no lineage block): full-scan fallback still exact
     del m["lineage"]
     with open(os.path.join(d, "manifest.json"), "w") as fh:
         json.dump(m, fh)
     got = sorted(frontier_top(spark, root, 7).collect(), key=key)
-    want = sorted(full.orderBy(F.desc("priority"), F.asc("urlkey"))
-                  .limit(7).collect(), key=key)
     assert [key(r) for r in got] == [key(r) for r in want]
 
 
