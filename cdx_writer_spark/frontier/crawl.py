@@ -56,13 +56,24 @@ def _union_all(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
-_PARSE_COLS: tuple | None = None
+def _active_ctx():
+    """The live SparkContext — the cache key for process-lifetime Column
+    caches below.  py4j-backed Column objects hold Java references into
+    one gateway; if the JVM is torn down and relaunched in a long-lived
+    process, a cache keyed only on the module would serve stale handles
+    that fail opaquely, so the caches rebuild whenever the context
+    object changes."""
+    from pyspark import SparkContext
+    return SparkContext._active_spark_context
+
+
+_PARSE_COLS: "tuple | None" = None   # (SparkContext, cols)
 
 
 def _parse_cols() -> tuple:
     """The parse stage's projection Columns (content digest as sha1+base32
     expression arithmetic, html length, JVM-extracted hrefs -> python
-    urljoin) — built ONCE per process and reused every generation.
+    urljoin) — built ONCE per SparkContext and reused every generation.
 
     Column objects are immutable unresolved-attribute expressions, reusable
     across plans; rebuilding them per generation cost a measured ~0.3-1.3s
@@ -70,15 +81,16 @@ def _parse_cols() -> tuple:
     alone is ~300 nodes = hundreds of gateway round-trips), a straight
     addition to the loop's core-count-independent Amdahl term."""
     global _PARSE_COLS
-    if _PARSE_COLS is None:
+    ctx = _active_ctx()
+    if _PARSE_COLS is None or _PARSE_COLS[0] is not ctx:
         from ..functions.udfs import normalize_links, raw_hrefs_expr
         from ..operators.cdx import sha1_b32_binary_expr
-        _PARSE_COLS = (
+        _PARSE_COLS = (ctx, (
             sha1_b32_binary_expr(F.col("html")).alias("checksum"),
             F.length("html").alias("html_len"),
             normalize_links(raw_hrefs_expr(F.col("html")), F.col("url"))
-            .alias("outlinks"))
-    return _PARSE_COLS
+            .alias("outlinks")))
+    return _PARSE_COLS[1]
 
 
 @dataclass
@@ -298,15 +310,53 @@ def page_cdx(parsed: DataFrame) -> DataFrame:
         F.col("generation"))
 
 
+# RFC 3986 §2.3 unreserved characters: a percent-encoded octet in this set
+# is equivalent to the bare character and is DECODED during normalization;
+# everything else (reserved gen/sub-delims, non-ASCII, controls) stays
+# encoded, with its hex digits uppercased (RFC 3986 §6.2.2.1).
+_UNRESERVED = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+
+def _pct_norm_expr(col) -> "F.Column":
+    """RFC 9309 §2.2.2 percent-encoding normalization as a pure JVM
+    expression (no UDF): ``%XX`` decodes when the octet is unreserved
+    (so ``Disallow: /%7Ejoe/`` matches ``/~joe/``), otherwise the hex is
+    uppercased (``%2f`` ≡ ``%2F``); a ``%`` not followed by two hex
+    digits stays literal.  Note ``%2A``/``%24`` stay ENCODED (``*`` and
+    ``$`` are reserved sub-delims) and are therefore literal octets, not
+    wildcard/anchor metacharacters — matching Google's reference matcher.
+    Strings without ``%`` (the overwhelming majority of URL paths) pay a
+    single contains() check."""
+    dec = F.create_map(*[lit for ch in _UNRESERVED
+                         for lit in (F.lit(f"{ord(ch):02X}"), F.lit(ch))])
+    parts = F.split(col, "%", -1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(x):
+        hx = F.upper(F.substring(x, 1, 2))
+        return F.when(
+            x.rlike("^[0-9A-Fa-f]{2}"),
+            F.concat(F.coalesce(dec[hx], F.concat(F.lit("%"), hx)),
+                     F.substring(x, 3, 2147483647))
+        ).otherwise(F.concat(F.lit("%"), x))
+
+    norm = F.concat(F.element_at(parts, 1),
+                    F.array_join(F.transform(rest, fix), ""))
+    return F.when(col.contains("%"), norm).otherwise(col)
+
+
 def robots_rules_table(robots: DataFrame) -> DataFrame:
     """Per-host rule aggregation feeding robots_gate — generation-invariant,
     so run_crawl builds this plan ONCE and reuses it every generation
     (the regex-translation expression construction alone is hundreds of
-    driver py4j calls).  Rules containing RFC 9309 §2.2.3 special
-    characters (``*`` = any octet sequence, trailing ``$`` = end anchor)
-    are translated here, in the tiny per-host agg, to anchored Java
-    regexes; wildcard-free rules stay plain prefixes."""
-    p = F.col("path_prefix")
+    driver py4j calls).  Rule paths are percent-encoding-normalized first
+    (RFC 9309 §2.2.2 — see _pct_norm_expr), so rule specificity (octet
+    length) is measured on the canonical form.  Rules containing RFC 9309
+    §2.2.3 special characters (``*`` = any octet sequence, trailing ``$``
+    = end anchor) are translated here, in the tiny per-host agg, to
+    anchored Java regexes; wildcard-free rules stay plain prefixes."""
+    p = _pct_norm_expr(F.col("path_prefix"))
     # a '*' anywhere or a terminal '$' makes the rule a wildcard rule;
     # a '$' mid-rule is a literal octet per the RFC's grammar
     is_wild = p.contains("*") | p.endswith("$")
@@ -333,18 +383,19 @@ def robots_rules_table(robots: DataFrame) -> DataFrame:
                             wild_rule)).alias("allows_w")))
 
 
-_GATE_KEEP: "F.Column | None" = None
+_GATE_KEEP: "tuple | None" = None   # (SparkContext, Column)
 
 
 def _gate_keep_col() -> "F.Column":
-    """``NOT blocked`` filter over a candidates-⋈-rules row, cached at the
-    module level (pure unresolved-attribute expression: ~100 py4j calls
+    """``NOT blocked`` filter over a candidates-⋈-rules row, cached per
+    SparkContext (pure unresolved-attribute expression: ~100 py4j calls
     plus four aggregate-lambda closures per build, all per-generation
-    driver time before this cache)."""
+    driver time before this cache; see _active_ctx for the keying)."""
     global _GATE_KEEP
-    if _GATE_KEEP is not None:
-        return _GATE_KEEP
-    path = F.regexp_replace("url", r"^https?://[^/]*", "")
+    ctx = _active_ctx()
+    if _GATE_KEEP is not None and _GATE_KEEP[0] is ctx:
+        return _GATE_KEEP[1]
+    path = _pct_norm_expr(F.regexp_replace("url", r"^https?://[^/]*", ""))
 
     def longest_match(plain, wild):
         lp = F.aggregate(
@@ -360,9 +411,9 @@ def _gate_keep_col() -> "F.Column":
                                   & (r["n"] > acc), r["n"]).otherwise(acc))
         return F.greatest(lp, lw)
 
-    _GATE_KEEP = ~(longest_match(F.col("bans"), F.col("bans_w"))
-                   > longest_match(F.col("allows"), F.col("allows_w")))
-    return _GATE_KEEP
+    _GATE_KEEP = (ctx, ~(longest_match(F.col("bans"), F.col("bans_w"))
+                         > longest_match(F.col("allows"), F.col("allows_w"))))
+    return _GATE_KEEP[1]
 
 
 def robots_gate(candidates: DataFrame, robots: DataFrame | None = None,
@@ -373,13 +424,19 @@ def robots_gate(candidates: DataFrame, robots: DataFrame | None = None,
     Google's reference matcher), Allow wins a length tie — so an
     'Allow: /a/pub' carve-out inside 'Disallow: /a/' admits /a/pub/....
     RFC 9309 §2.2.3 special characters are supported (``*``/``$`` — see
-    robots_rules_table).  Percent-encoding equivalence is not normalized
-    (byte-wise comparison; see frontier/robots.py).  Vectorized
-    higher-order array folds, no UDF.
+    robots_rules_table).  Both rule paths and URL paths are normalized to
+    canonical percent-encoding before comparison (RFC 9309 §2.2.2:
+    unreserved octets decoded, remaining hex uppercased — _pct_norm_expr),
+    so ``Disallow: /%7Ejoe/`` blocks ``/~joe/``.  Vectorized higher-order
+    array folds, no UDF.
 
     Pass a prebuilt ``rules`` (robots_rules_table) to skip rebuilding the
     aggregation plan — run_crawl does, once for the whole crawl."""
     if rules is None:
+        if robots is None:
+            raise ValueError(
+                "robots_gate needs either `robots` (raw (host, rule_type, "
+                "path_prefix) rows) or a prebuilt `rules` table")
         rules = robots_rules_table(robots)
     joined = candidates.join(F.broadcast(rules), "host", "left")
     return joined.filter(_gate_keep_col()).drop("bans", "allows", "bans_w",
@@ -775,10 +832,77 @@ def frontier_top(spark: SparkSession, root: str, n: int) -> DataFrame:
     return spark.read.parquet(*subset).orderBy(*order).limit(n)
 
 
+def _tombstones(root: str) -> list[tuple[int, str]]:
+    """Persisted recrawl-expiry tombstones under ``root/expired/`` ->
+    [(asof_gen, keys_parquet_path)] ascending by asof_gen.  A tombstone
+    written when a resume started at generation ``s`` cancels seen /
+    emitted keys recorded by generations < s; deltas from s onward (which
+    contain any rediscoveries) are untouched — so a rediscovered-and-
+    re-emitted URL stays seen across later resumes while a
+    not-yet-rediscovered one stays expired, without re-passing
+    expire_keys."""
+    d = os.path.join(root, "expired")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        mf = os.path.join(d, name, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                m = json.load(fh)
+            if m.get("complete"):
+                out.append((int(m["asof_gen"]),
+                            os.path.join(d, name, "keys")))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _write_tombstone(root: str, asof_gen: int, exp: DataFrame) -> None:
+    """Persist a recrawl-expiry tombstone (keys parquet + manifest-last,
+    same complete-marker discipline as generation checkpoints).  Multiple
+    tombstones may share an asof_gen (re-expiry at the same resume
+    point); the subtraction in load_state applies each independently."""
+    base = os.path.join(root, "expired")
+    os.makedirs(base, exist_ok=True)
+    k = 0
+    while os.path.exists(os.path.join(base, f"asof={asof_gen:05d}-{k:02d}")):
+        k += 1
+    d = os.path.join(base, f"asof={asof_gen:05d}-{k:02d}")
+    exp.write.mode("overwrite").parquet(os.path.join(d, "keys"))
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"complete": True, "asof_gen": asof_gen}, f)
+
+
+def _subtract_tombstones(spark: SparkSession, frames: list[tuple[int, DataFrame]],
+                         tombs: list[tuple[int, str]],
+                         key_col: str = "urlkey") -> DataFrame | None:
+    """Union per-generation frames, anti-joining each generation with the
+    tombstones NEWER than it (asof_gen > gen).  Frames sharing the same
+    applicable-tombstone set are unioned first so the number of anti-joins
+    is O(#tombstones), not O(#generations)."""
+    if not frames:
+        return None
+    groups: dict[tuple, DataFrame] = {}
+    for g, df in frames:
+        key = tuple(p for a, p in tombs if a > g)
+        groups[key] = df if key not in groups \
+            else groups[key].unionByName(df)
+    out = None
+    for key, df in groups.items():
+        if key:
+            tomb = (spark.read.parquet(*key)
+                    .select(key_col).distinct())
+            df = df.join(tomb, key_col, "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def load_state(spark: SparkSession, root: str):
     """Latest complete checkpoint -> (gen, frontier, seen, metrics) or None.
     ``seen`` is reassembled as the union of the per-generation deltas up to
-    and including the returned generation."""
+    and including the returned generation, minus any persisted recrawl
+    tombstones (run_crawl(expire_keys=...) — see _tombstones) that
+    postdate each delta."""
     state = _latest_complete(root)
     if state is None:
         return None
@@ -791,9 +915,9 @@ def load_state(spark: SparkSession, root: str):
     # would union legacy FULL snapshots as if they were deltas after a
     # resume that appended delta-v2 gens to a legacy dir, duplicating the
     # seen set ~gen-fold and inflating the bloom sizing.)
-    parts = []
+    parts: list[tuple[int, str]] = []
     for i in range(gen, -1, -1):
-        parts.append(os.path.join(_gen_dir(root, i), "seen"))
+        parts.append((i, os.path.join(_gen_dir(root, i), "seen")))
         mfi = os.path.join(_gen_dir(root, i), "manifest.json")
         fmt = None
         if os.path.exists(mfi):
@@ -801,7 +925,12 @@ def load_state(spark: SparkSession, root: str):
                 fmt = json.load(fh).get("seen_format")
         if fmt != "delta-v2":
             break
-    seen = spark.read.parquet(*parts)
+    tombs = _tombstones(root)
+    if not tombs:
+        seen = spark.read.parquet(*[p for _, p in parts])
+    else:
+        seen = _subtract_tombstones(
+            spark, [(i, spark.read.parquet(p)) for i, p in parts], tombs)
     return gen, fr, seen, m
 
 
@@ -820,7 +949,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     the emitted-keys guard, so rediscovering them re-enqueues and
     re-emits.  With ``seen_filter="cuckoo"`` the expiry is a DELETE
     against the sharded filter (O(|expired|) co-grouped work) instead of
-    the O(total) rebuild every bloom variant would need.
+    the O(total) rebuild every bloom variant would need.  Cuckoo-delete
+    caveat: deleting a key whose (fingerprint, bucket) collides with a
+    different stored key can evict that victim from the filter, so a few
+    URLs BEYOND the expired set may be re-crawled/re-emitted early — the
+    standard cuckoo-filter deletion semantics; callers scheduling expiry
+    should expect occasional extra duplicates (the exact seen table is
+    untouched, so correctness of the filter+exact pipeline is preserved).
+    The expiry is PERSISTED as a tombstone under
+    ``checkpoint_dir/expired/`` (keys parquet + asof_gen manifest):
+    later resumes subtract it from the seen/emitted reassembly for all
+    generations that predate it, so a recrawl that wasn't rediscovered
+    yet is not silently cancelled and expire_keys need not be re-passed.
 
     Scale bookkeeping (all O(delta) per generation, never O(total)):
     * the seen set is a UNION of per-generation checkpointed deltas — no
@@ -856,15 +996,25 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         if state is not None:
             last_gen, frontier, seen, _m = state
             start_gen = last_gen + 1
-            emitted = [spark.read.parquet(os.path.join(_gen_dir(checkpoint_dir, g), "cdx"))
-                       for g in range(start_gen)]
-            emitted_keys = emitted[0]
-            for e in emitted[1:]:
-                emitted_keys = emitted_keys.unionByName(e)
+            # reassemble the emitted-CDX guard with the same persisted-
+            # tombstone subtraction load_state applies to the seen set:
+            # a tombstone at asof_gen s cancels emissions from gens < s
+            # only (re-emissions from s onward stay guarded)
+            tombs = _tombstones(checkpoint_dir)
+            emitted_keys = _subtract_tombstones(
+                spark,
+                [(g, spark.read.parquet(
+                    os.path.join(_gen_dir(checkpoint_dir, g), "cdx")))
+                 for g in range(start_gen)],
+                tombs)
             if expire_keys is not None:
                 # recrawl expiry: the keys leave the seen set AND the
-                # re-emission guard, so rediscovery re-enqueues them
+                # re-emission guard, so rediscovery re-enqueues them.
+                # Persisted as a tombstone FIRST (manifest-last), so a
+                # later resume without expire_keys keeps the expiry for
+                # everything this run didn't rediscover.
                 exp = expire_keys.select("urlkey").distinct()
+                _write_tombstone(checkpoint_dir, start_gen, exp)
                 pre_expire_seen = seen
                 seen = seen.join(exp, "urlkey", "left_anti")
                 emitted_keys = emitted_keys.join(exp, "urlkey",
@@ -1072,6 +1222,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 new_seen = (frontier.where(F.col("generation") == gen + 1)
                             .select("urlkey").localCheckpoint(eager=False))
                 delta_handle = new_seen
+            if emitted_keys is not None:
+                # resumed runs: the manifest's cdx_rows must count the
+                # rows the checkpoint actually writes — AFTER the
+                # emitted-keys anti-join — not the parsed-block count
+                # (which overstates any generation that re-parsed
+                # already-emitted URLs).  parsed is persisted by now, so
+                # this is a projection + anti-join over it, resume-only.
+                metrics["cdx_rows"] = cdx.count()
             seen_parts.append(new_seen)
             seen_handles.append(delta_handle)
             compact_old: list | None = None

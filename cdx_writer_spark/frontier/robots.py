@@ -13,9 +13,11 @@ comment; field names are case-insensitive; blank Disallow means
 §2.2.3 special characters ``*`` (any octet sequence) and trailing
 ``$`` (end-of-path anchor) — matching happens in
 ``frontier.crawl.robots_gate``; this module only emits the raw rule
-strings.  Percent-encoding equivalence (``%2F`` vs ``/``) is NOT
-normalized: rules and URL paths are compared byte-wise, which is
-consistent for URLs that are already canonically encoded.
+strings.  Percent-encoding equivalence (RFC 9309 §2.2.2) is handled at
+match time: crawl._pct_norm_expr normalizes BOTH rule paths and URL
+paths to canonical form (unreserved octets decoded, remaining hex
+uppercased) before comparison, so ``/%7Ejoe/`` ≡ ``/~joe/`` while
+reserved octets like ``%2F`` stay distinct from ``/``.
 
 Implementation is pure DataFrame/window algebra — no UDF:
   split body -> posexplode keeps line order -> a running count of

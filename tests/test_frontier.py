@@ -984,3 +984,66 @@ def test_aqe_restored_after_loop_and_on_failure(spark, world):
     with _pytest.raises(Exception):
         run_crawl(spark, bad_pages, seeds, robots, cfg, 1)
     assert spark.conf.get(key) == orig, "AQE not restored after failure"
+
+
+def test_expiry_tombstone_persists_across_resumes(spark, world, tmp_path):
+    """run_crawl(expire_keys=...) persists a tombstone: a LATER resume
+    that does NOT re-pass expire_keys must still treat never-rediscovered
+    expired keys as unseen (the recrawl isn't silently cancelled), while
+    rediscovered keys — re-recorded in post-expiry deltas — stay seen."""
+    import json as jsonmod
+    import os
+
+    from cdx_writer_spark.frontier.crawl import load_state
+
+    pages, seeds, robots = world
+    cfg = CrawlConfig(use_bloom=False, per_host_budget=2, global_batch=200)
+    d = str(tmp_path / "tomb")
+    run_crawl(spark, pages, seeds, robots, cfg, 2, checkpoint_dir=d)
+    expired_df = (spark.read.parquet(f"{d}/gen=00000/cdx",
+                                     f"{d}/gen=00001/cdx")
+                  .select("urlkey").distinct())
+    expired = {r["urlkey"] for r in expired_df.collect()}
+    assert expired
+
+    # resume WITH expire_keys for one generation -> tombstone written
+    run_crawl(spark, pages, seeds, robots, cfg, 3, checkpoint_dir=d,
+              resume=True, expire_keys=expired_df)
+    tomb_dirs = os.listdir(os.path.join(d, "expired"))
+    assert tomb_dirs, "no tombstone persisted"
+    with open(os.path.join(d, "expired", tomb_dirs[0],
+                           "manifest.json")) as fh:
+        tm = jsonmod.load(fh)
+    assert tm["complete"] and tm["asof_gen"] == 2
+
+    # what generation 2 re-recorded: its seen delta (novel discoveries)
+    redisc = {r["urlkey"] for r in
+              spark.read.parquet(f"{d}/gen=00002/seen").collect()} & expired
+    not_redisc = expired - redisc
+    assert redisc, "vacuous: nothing was rediscovered at gen 2"
+    assert not_redisc, "vacuous: everything was rediscovered at gen 2"
+
+    # a fresh load_state WITHOUT expire_keys honors the tombstone
+    _gen, _fr, seen, _m = load_state(spark, d)
+    seen_keys = {r["urlkey"] for r in seen.collect()}
+    assert redisc <= seen_keys, \
+        "rediscovered expired keys fell out of the reassembled seen set"
+    assert not (seen_keys & not_redisc), \
+        "tombstone lost on resume: never-rediscovered expired keys " \
+        "re-entered the seen set"
+
+    # and a further resume without expire_keys keeps crawling consistently:
+    # anything it emits is NOT something already re-emitted at gen 2
+    _f, _s, cdx3, m3 = run_crawl(spark, pages, seeds, robots, cfg, 4,
+                                 checkpoint_dir=d, resume=True)
+    assert [x["generation"] for x in m3] == [3]
+    g2 = {r["urlkey"] for r in
+          spark.read.parquet(f"{d}/gen=00002/cdx").collect()}
+    g3 = {r["urlkey"] for r in cdx3.collect()}
+    assert not (g3 & g2), "re-emitted a key already re-emitted post-expiry"
+    # manifest honesty (ADVICE): the recorded cdx_rows equals the rows
+    # actually written for the resumed generation
+    with open(os.path.join(d, "gen=00003", "manifest.json")) as fh:
+        m = jsonmod.load(fh)
+    assert m["cdx_rows"] == spark.read.parquet(
+        f"{d}/gen=00003/cdx").count()
