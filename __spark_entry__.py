@@ -108,11 +108,52 @@ def crawl_cdx_fixture_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (64-bit bit-vote simhash, banded Hamming
-    join).  Rows-only: DuckDB lacks xxhash64."""
+    """SimHash near-dup candidate pairs through the REAL banded operator
+    (operators/dedup.simhash: bit-vote signatures -> chunk explode ->
+    band self-join -> Hamming), value-checked: the token hash is
+    injected as a 32-bit md5-derived value (md5 is identical on both
+    engines; conv(hex,16,10) == DuckDB's hex-char fold), 4 × 8-bit
+    Hamming bands.  The production 64-bit xxhash64 signature path is
+    value-pinned against an independent pure-Python XXH64 in
+    tests/test_operators.py (DuckDB lacks xxhash64)."""
     from cdx_writer_spark.operators.dedup import simhash
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
-    return simhash(docs).orderBy("doc_a", "doc_b")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    md5_32 = (lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+              .cast("long"))
+    return (simhash(docs, n_bits=32, hamming_band_bits=8, hash_col=md5_32)
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_SIMHASH_PAIRS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents WHERE doc_id < 200),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (
+  SELECT doc_id, i,
+         ((position(substr(h, 8 - i // 4, 1) IN '0123456789abcdef') - 1)
+          >> (i % 4)) & 1 AS bit
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i)),
+votes AS (
+  SELECT doc_id, i, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, i),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+         AS simhash
+  FROM votes GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 8)) & 255 AS val
+  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b
+"""
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,14 +173,61 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors (rows-only; the brute-force
-    baseline cosine_topk IS oracle-checked)."""
-    from pyspark.sql import functions as FF
-    from cdx_writer_spark.operators.similarity import ivf_topk
+    """IVF approximate nearest neighbors, value-checked end-to-end:
+    external cell assignment (vec_id % 4 — the offline-codebook
+    deployment shape), per-cell elementwise-mean centroids, n_probe=2
+    probe selection by rounded cosine, exact top-k within probed cells
+    (operators/similarity.ivf_topk_assigned).  The kmeans-built variant
+    (ivf_topk) keeps its recall>=0.9 pytest pin — its centroids are not
+    ANSI-SQL-expressible."""
+    from cdx_writer_spark.operators.similarity import ivf_topk_assigned
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.filter(FF.col("vec_id") < 3).select(
-        FF.col("vec_id").alias("query_id"), FF.col("embedding").alias("qvec"))
-    return ivf_topk(emb, queries_df, k=5, n_cells=4, n_probe=2, iters=1)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return (ivf_topk_assigned(emb, queries_df,
+                              F.pmod(F.col("vec_id"), F.lit(4)), k=5,
+                              n_probe=2)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_IVF_TOPK = """
+WITH inv AS (SELECT vec_id, embedding, vec_id % 4 AS cell FROM embeddings),
+cent AS (
+  SELECT cell, list(m ORDER BY i) AS centroid FROM (
+    SELECT cell, i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+    FROM inv CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+    WHERE i < len(embedding)
+    GROUP BY cell, i)
+  GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 3),
+qc AS (
+  SELECT query_id, qvec, cell,
+         round(list_dot_product(CAST(qvec AS DOUBLE[]), centroid) /
+               (sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                      CAST(qvec AS DOUBLE[]))) *
+                sqrt(list_dot_product(centroid, centroid))), 4) AS sim
+  FROM q CROSS JOIN cent),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT query_id, qvec, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM qc) WHERE rn <= 2),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(embedding, qvec) /
+               (sqrt(list_dot_product(embedding, embedding)) *
+                sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+  FROM inv JOIN probes USING (cell)
+  WHERE vec_id <> query_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
     o = dict(catalog.ORACLES)
     o["crawl_surt_urlkey"] = ORACLE_SURT_URLKEY
     o["text_lang_id"] = ORACLE_LANG_ID
+    o["dedup_simhash_pairs"] = ORACLE_SIMHASH_PAIRS
+    o["similarity_ivf_topk"] = ORACLE_IVF_TOPK
     # the streaming run must reproduce the batch tumbling-window oracle
     o["streaming_tumbling_window"] = catalog.ORACLE_TUMBLING
     return o

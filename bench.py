@@ -151,6 +151,39 @@ def index_bench(spark, n_records: int):
             "index_sec_runs": [round(t, 3) for t in times]}
 
 
+def _steal_jiffies() -> int | None:
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except Exception:
+        return None
+
+
+_PROBE_BUFS = None
+
+
+def _dram_probe(duration: float = 0.3) -> float | None:
+    """Single-thread streaming-copy bandwidth (GB/s).  Buffers are
+    allocated once and reused so per-query probes don't pay fault-in."""
+    global _PROBE_BUFS
+    try:
+        import numpy as np
+        if _PROBE_BUFS is None:
+            a = np.ones(128 * 1024 * 1024 // 8, dtype=np.int64)  # 128 MB
+            b = np.empty_like(a)
+            np.copyto(b, a)      # fault both in, untimed
+            _PROBE_BUFS = (a, b)
+        a, b = _PROBE_BUFS
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < duration:
+            np.copyto(b, a)
+            n += 1
+        return round(n * 0.25 / (time.time() - t0), 2)
+    except Exception:
+        return None
+
+
 def host_state() -> dict:
     """~1s canary of the two host-noise axes this VM suffers (BENCH.md):
     hypervisor steal (bursty, minutes-scale) and DRAM-bandwidth
@@ -158,25 +191,17 @@ def host_state() -> dict:
     measure ~10-19 GB/s single-thread here, contended ones <5).  Recorded
     in the bench JSON so a cross-round comparison can tell a code change
     from a bad window."""
-    try:
-        import numpy as np
-        with open("/proc/stat") as fh:
-            s0 = int(fh.readline().split()[8])
-        a = np.ones(128 * 1024 * 1024 // 8, dtype=np.int64)  # 128 MB
-        b = np.empty_like(a)
-        np.copyto(b, a)          # fault both buffers in, untimed
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 0.6:
-            np.copyto(b, a)
-            n += 1
-        dt = time.time() - t0
-        with open("/proc/stat") as fh:
-            s1 = int(fh.readline().split()[8])
-        return {"mem_gb_per_sec_1t": round(n * 0.25 / dt, 2),
-                "steal_cores": round((s1 - s0) / (100.0 * dt), 2)}
-    except Exception:
-        return {}
+    s0 = _steal_jiffies()
+    t0 = time.time()
+    gbs = _dram_probe(0.6)
+    dt = time.time() - t0
+    s1 = _steal_jiffies()
+    out = {}
+    if gbs is not None:
+        out["mem_gb_per_sec_1t"] = gbs
+    if s0 is not None and s1 is not None and dt > 0:
+        out["steal_cores"] = round((s1 - s0) / (100.0 * dt), 2)
+    return out
 
 
 def main():
@@ -230,19 +255,41 @@ def main():
     # "query_runs" so a reader can see the spread.
     queries: dict[str, float] = {}
     query_runs: dict[str, list[float]] = {}
+    # per-QUERY-WINDOW canaries (round-4 verdict: session-level canaries
+    # can't adjudicate a single query's cross-round delta): steal cores
+    # measured ACROSS the query's own two runs (free — /proc/stat
+    # bracketing) plus a 0.3s single-thread DRAM probe right after.
+    query_canaries: dict[str, dict] = {}
     t_all = time.time()
     for name in HEADLINE:
         runs = []
+        s0, w0 = _steal_jiffies(), time.time()
         for _ in range(2):
             t0 = time.time()
             materialize(QUERIES[name](spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
+        s1, w1 = _steal_jiffies(), time.time()
         queries[name] = min(runs)
         query_runs[name] = runs
+        can = {}
+        if s0 is not None and s1 is not None and w1 > w0:
+            can["steal_cores"] = round((s1 - s0) / (100.0 * (w1 - w0)), 2)
+        gbs = _dram_probe(0.3)
+        if gbs is not None:
+            can["mem_gb_per_sec_1t"] = gbs
+        query_canaries[name] = can
 
     crawl_pages = int(200000 * sf / 0.1)
+    s0, w0 = _steal_jiffies(), time.time()
     crawl = crawl_bench(spark, max(crawl_pages, 5000))
+    s1, w1 = _steal_jiffies(), time.time()
+    if s0 is not None and s1 is not None and w1 > w0:
+        crawl["steal_cores_window"] = round((s1 - s0) / (100.0 * (w1 - w0)), 2)
+    crawl["mem_gb_per_sec_1t_after"] = _dram_probe(0.3)
     queries["crawl_frontier"] = crawl["crawl_sec"]
+    query_canaries["crawl_frontier"] = {
+        "steal_cores": crawl.get("steal_cores_window"),
+        "mem_gb_per_sec_1t": crawl["mem_gb_per_sec_1t_after"]}
 
     if cpus >= 24:
         # This host class's DRAM bandwidth saturates at ~16 concurrent
@@ -257,8 +304,16 @@ def main():
                           cores=cpus,
                           extra={"spark.task.cpus": "2", **jvm_opts})
         spark.sparkContext.setLogLevel("ERROR")
+    s0, w0 = _steal_jiffies(), time.time()
     index = index_bench(spark, max(int(1000000 * sf / 0.1), 10000))
+    s1, w1 = _steal_jiffies(), time.time()
+    if s0 is not None and s1 is not None and w1 > w0:
+        index["steal_cores_window"] = round((s1 - s0) / (100.0 * (w1 - w0)), 2)
+    index["mem_gb_per_sec_1t_after"] = _dram_probe(0.3)
     queries["cdx_index"] = index["index_sec"]
+    query_canaries["cdx_index"] = {
+        "steal_cores": index.get("steal_cores_window"),
+        "mem_gb_per_sec_1t": index["mem_gb_per_sec_1t_after"]}
     # headline value = SUM OF BEST TIMES (named so: best-sum, not raw
     # wall — r2 and earlier reported single-run wall; see BENCH.md §0 for
     # the protocol history).  The raw wall of the whole bench (including
@@ -278,6 +333,7 @@ def main():
         "wall_raw": wall_raw,
         "queries": queries,
         "query_runs": query_runs,
+        "query_canaries": query_canaries,
         "sf": sf,
         "cpus": cpus,
         "urls_per_sec": crawl["urls_per_sec"],

@@ -20,8 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["exact", "minhash_lsh", "simhash", "jaccard_verify",
-           "embedding_near_dup", "shingles_col"]
+__all__ = ["exact", "minhash_lsh", "simhash", "simhash_signatures",
+           "jaccard_verify", "embedding_near_dup", "shingles_col"]
 
 
 def shingles_col(text_col: str = "text", n: int = 3):
@@ -76,29 +76,45 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            hamming_band_bits: int = 16) -> DataFrame:
-    """64-bit SimHash per doc + banded candidate pairs.
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_bits: int = 64,
+                       hash_col=None) -> DataFrame:
+    """(_id, simhash): the per-doc SimHash signature.
 
     simhash bit i = sign of Σ_tokens (hash(token) bit i ? +1 : -1), built
     entirely with JVM expressions: explode tokens → ONE ``groupBy(_id)``
-    carrying all 64 bit-vote counters as conditional sums (map-side
-    partials make the shuffle O(docs × 64 longs), NOT O(tokens × 64) —
-    the per-bit explode of the first cut shuffled 64× the token volume).
-    Near-dup candidates share at least one of the four 16-bit chunks
-    (≈ Hamming distance ≤ 3 guaranteed recall band trick)."""
+    carrying all n_bits bit-vote counters as conditional sums (map-side
+    partials make the shuffle O(docs × n_bits longs), NOT O(tokens ×
+    n_bits) — the per-bit explode of the first cut shuffled 64× the
+    token volume).  ``hash_col`` (token Column → long Column) defaults
+    to xxhash64; injectable so the oracle-checked driver query can run
+    this same plan with an md5-derived 32-bit hash DuckDB can
+    reproduce."""
+    if hash_col is None:
+        hash_col = F.xxhash64
     toks = (docs.select(F.col(id_col).alias("_id"),
                         F.explode(F.expr(
                             f"filter(split({text_col}, ' '), t -> t <> '')"))
                         .alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
+            .withColumn("h", hash_col(F.col("tok"))))
     votes = [F.sum(F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, 1)
-                   .otherwise(-1)).alias(f"v{i}") for i in range(64)]
+                   .otherwise(-1)).alias(f"v{i}") for i in range(n_bits)]
     assemble = F.expr(" | ".join(
         f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
-        f"ELSE CAST(0 AS BIGINT) END)" for i in range(64)))
-    sim = (toks.groupBy("_id").agg(*votes)
-           .select("_id", assemble.alias("simhash")))
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(n_bits)))
+    return (toks.groupBy("_id").agg(*votes)
+            .select("_id", assemble.alias("simhash")))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hamming_band_bits: int = 16, n_bits: int = 64,
+            hash_col=None) -> DataFrame:
+    """n_bits SimHash per doc (simhash_signatures) + banded candidate
+    pairs.  Near-dup candidates share at least one of the
+    n_bits/hamming_band_bits chunks (≈ Hamming distance ≤ chunks-1
+    guaranteed recall band trick)."""
+    sim = simhash_signatures(docs, id_col, text_col, n_bits=n_bits,
+                             hash_col=hash_col)
     chunks = sim.select(
         "_id", "simhash",
         F.explode(F.array(*[
@@ -107,7 +123,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                                           i * hamming_band_bits)
                      .bitwiseAND(F.lit((1 << hamming_band_bits) - 1))
                      .alias("val"))
-            for i in range(64 // hamming_band_bits)])).alias("c"))
+            for i in range(n_bits // hamming_band_bits)])).alias("c"))
     chunks = chunks.select("_id", "simhash", "c.chunk", "c.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

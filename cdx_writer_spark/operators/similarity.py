@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["brute_force_topk", "ivf_topk", "cosine_expr"]
+__all__ = ["brute_force_topk", "ivf_topk", "ivf_topk_assigned",
+           "cosine_expr"]
 
 
 def _dot(a, b):
@@ -94,6 +95,49 @@ def _assign(emb: DataFrame, cents: DataFrame, vec_col: str,
                  F.max_by("cell", F.struct(
                      F.col("_sim").alias("s"),
                      (-F.col("cell")).alias("nc"))).alias("cell")))
+
+
+def ivf_topk_assigned(emb: DataFrame, queries: DataFrame, assign_col,
+                      k: int = 10, n_probe: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "qvec",
+                      round_digits: int = 4) -> DataFrame:
+    """IVF ANN with an EXTERNAL cell assignment (``assign_col``: a Column
+    over the emb row → int cell id) — the common production deployment
+    where the codebook/partition map is trained offline and shipped with
+    the data.  Centroids are derived as the per-cell elementwise mean;
+    queries probe the ``n_probe`` nearest centroids (cosine, rounded to
+    ``round_digits`` with cell-id tiebreak so the probe choice is stable
+    across engines and float summation orders) and the exact top-k runs
+    within probed cells only.  Same probe/score shape as ivf_topk minus
+    the kmeans build, and fully ANSI-SQL-expressible — this is the
+    oracle-checked IVF entry in the driver contract."""
+    inverted = emb.withColumn("cell", assign_col)
+    cents = (inverted
+             .select("cell", F.posexplode(vec_col).alias("pos", "val"))
+             .groupBy("cell", "pos")
+             .agg(F.avg(F.col("val").cast("double")).alias("m"))
+             .groupBy("cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                 lambda s: s.getField("m")).alias("centroid")))
+    qcells = (queries.crossJoin(F.broadcast(cents))
+              .withColumn("_sim", F.round(
+                  cosine_expr(F.col(qvec_col).cast("array<double>"),
+                              F.col("centroid")), round_digits)))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_sim"), "cell")
+    probes = (qcells.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= n_probe)
+              .select(qid_col, qvec_col, "cell"))
+    scored = (inverted.join(probes, "cell")
+              .filter(F.col(id_col) != F.col(qid_col))
+              .select(qid_col, id_col,
+                      F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)),
+                              round_digits).alias("cosine")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,

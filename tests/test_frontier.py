@@ -1047,3 +1047,65 @@ def test_expiry_tombstone_persists_across_resumes(spark, world, tmp_path):
         m = jsonmod.load(fh)
     assert m["cdx_rows"] == spark.read.parquet(
         f"{d}/gen=00003/cdx").count()
+
+
+def test_frontier_top_priority_ties_across_file_boundaries(spark, tmp_path):
+    """The frontier_top exactness argument leans on urlkey-unique
+    tiebreaks: when a run of EQUAL priorities spans a part-file boundary,
+    the range partitioner must have split the tie run in urlkey order, so
+    reading head files in index order still yields the exact top-n.  Pin
+    it with an all-ties frontier and with a two-level frontier whose tie
+    run straddles the boundary."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdx_writer_spark.frontier.crawl import frontier_top, save_state
+
+    def build(priority_expr, tag):
+        fr = spark.range(2000).selectExpr(
+            "concat('k', lpad(cast(id AS string), 6, '0')) AS urlkey",
+            "concat('http://h/', id) AS url",
+            "concat('h', id % 50) AS host",
+            f"{priority_expr} AS priority",
+            "0 AS generation")
+        root = str(tmp_path / tag)
+        save_state(root, 0, fr, fr.select("urlkey"), fr.select("urlkey"),
+                   {"frontier_size": 17_000_000})
+        d = os.path.join(root, "gen=00000")
+        with open(os.path.join(d, "manifest.json")) as fh:
+            m = json.load(fh)
+        files = [e["file"] for e in m["lineage"]["partitions"]["frontier"]]
+        assert len(files) == 4, "test needs a multi-file layout"
+        first_rows = pq.ParquetFile(
+            os.path.join(d, "frontier", files[0])).metadata.num_rows
+        return root, d, first_rows
+
+    def key(r):
+        return (-r["priority"], r["urlkey"])
+
+    # (a) every priority identical: the entire frontier is one tie run
+    root, d, first = build("cast(0.5 AS double)", "all_ties")
+    full = spark.read.parquet(os.path.join(d, "frontier"))
+    for n in (1, first - 1, first, first + 1, 1999):
+        want = [key(r) for r in sorted(
+            full.orderBy(F.desc("priority"), F.asc("urlkey"))
+            .limit(n).collect(), key=key)]
+        got = [key(r) for r in sorted(
+            frontier_top(spark, root, n).collect(), key=key)]
+        assert got == want, f"all-ties frontier diverges at n={n}"
+
+    # (b) two priority levels, the high-priority tie run larger than the
+    # first file so it MUST straddle a boundary
+    root, d, first = build(
+        "CASE WHEN id % 2 = 0 THEN 0.9 ELSE 0.1 END", "two_level")
+    full = spark.read.parquet(os.path.join(d, "frontier"))
+    assert first < 1000, "high-priority run must span multiple files"
+    for n in (first, first + 1, 999, 1000, 1001):
+        want = [key(r) for r in sorted(
+            full.orderBy(F.desc("priority"), F.asc("urlkey"))
+            .limit(n).collect(), key=key)]
+        got = [key(r) for r in sorted(
+            frontier_top(spark, root, n).collect(), key=key)]
+        assert got == want, f"two-level frontier diverges at n={n}"

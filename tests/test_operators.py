@@ -373,3 +373,121 @@ def test_cdx_fields_overlapping_prefixes_no_duplicates(spark):
                          keep_excluded_flag=True)
     assert flagged.count() == base, "duplicated rows on overlapping prefixes"
     assert flagged.filter("excluded").count() == 1
+
+
+# ---------------------------------------------------------------- xxh64 --
+# Independent pure-Python XXH64 (the standard algorithm from the public
+# spec) — pins Spark's xxhash64-backed 64-bit SimHash signatures, which
+# no SQL oracle can check (DuckDB lacks xxhash64).
+
+_XXH_MASK = (1 << 64) - 1
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P4, _XXH_P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+
+
+def _xxh_rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _XXH_MASK
+
+
+def _xxh_round(acc, inp):
+    acc = (acc + inp * _XXH_P2) & _XXH_MASK
+    return (_xxh_rotl(acc, 31) * _XXH_P1) & _XXH_MASK
+
+
+def _xxh_merge(acc, val):
+    acc ^= _xxh_round(0, val)
+    return (acc * _XXH_P1 + _XXH_P4) & _XXH_MASK
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 (spec-faithful); Spark's xxhash64 uses seed 42.  Returns the
+    SIGNED 64-bit value Spark reports."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_MASK
+        v2 = (seed + _XXH_P2) & _XXH_MASK
+        v3 = seed & _XXH_MASK
+        v4 = (seed - _XXH_P1) & _XXH_MASK
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        acc = (_xxh_rotl(v1, 1) + _xxh_rotl(v2, 7) + _xxh_rotl(v3, 12)
+               + _xxh_rotl(v4, 18)) & _XXH_MASK
+        acc = _xxh_merge(acc, v1)
+        acc = _xxh_merge(acc, v2)
+        acc = _xxh_merge(acc, v3)
+        acc = _xxh_merge(acc, v4)
+    else:
+        acc = (seed + _XXH_P5) & _XXH_MASK
+    acc = (acc + n) & _XXH_MASK
+    while i + 8 <= n:
+        acc ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        acc = (_xxh_rotl(acc, 27) * _XXH_P1 + _XXH_P4) & _XXH_MASK
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _XXH_MASK
+        acc = (_xxh_rotl(acc, 23) * _XXH_P2 + _XXH_P3) & _XXH_MASK
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _XXH_P5) & _XXH_MASK
+        acc = (_xxh_rotl(acc, 11) * _XXH_P1) & _XXH_MASK
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XXH_P2) & _XXH_MASK
+    acc ^= acc >> 29
+    acc = (acc * _XXH_P3) & _XXH_MASK
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def test_simhash64_signatures_and_banding_match_independent_impl(spark, docs):
+    """VALUE-pin of the production 64-bit xxhash64 SimHash: signatures
+    vs an independent pure-Python XXH64 + bit-vote implementation, and
+    the banded candidate pairs vs a from-scratch 16-bit-chunk banding
+    over those independent signatures."""
+    from cdx_writer_spark.operators.dedup import simhash, simhash_signatures
+
+    sample = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    rows = {r["doc_id"]: r["text"] for r in sample.collect()}
+    assert len(rows) > 50
+
+    def ref_sig(text: str) -> int:
+        votes = [0] * 64
+        for tok in text.split(" "):
+            if tok == "":
+                continue
+            h = xxh64(tok.encode("utf-8")) & _XXH_MASK
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    want = {d: ref_sig(t) for d, t in rows.items()}
+    got = {r["_id"]: r["simhash"]
+           for r in simhash_signatures(sample).collect()}
+    assert got == want, "64-bit xxhash64 simhash signatures diverge"
+
+    # independent banding: pairs sharing >= 1 of the four 16-bit chunks
+    def chunks(sig):
+        u = sig & _XXH_MASK
+        return [(c, (u >> (16 * c)) & 0xFFFF) for c in range(4)]
+
+    ids = sorted(want)
+    ref_pairs = set()
+    for ai, a in enumerate(ids):
+        ca = set(chunks(want[a]))
+        for b in ids[ai + 1:]:
+            if ca & set(chunks(want[b])):
+                ham = bin((want[a] ^ want[b]) & _XXH_MASK).count("1")
+                ref_pairs.add((a, b, ham))
+    got_pairs = {(r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in simhash(sample).collect()}
+    assert got_pairs == ref_pairs, "banded pair set diverges"
+    assert ref_pairs, "vacuous: no candidate pairs in the sample"
