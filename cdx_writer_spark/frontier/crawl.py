@@ -163,6 +163,19 @@ class CrawlConfig:
     # same contract, ~2 B/key, and O(1) DELETION so recrawl expiry via
     # run_crawl(expire_keys=...) edits the filter instead of rebuilding)
     seen_filter: str = "bloom"
+    # build generation g+1's plan on a SECOND driver thread while
+    # generation g's heavy job runs (the _AsyncSave pattern applied to
+    # the ~1-2s/generation driver-serial plan term — BENCH.md phase
+    # table).  Speculative: the pre-built plan embeds this generation's
+    # gate decisions (fused/salt/top-k-skip), the live filter object and
+    # the recent-delta composition; run_crawl validates all of them
+    # against post-job reality and rebuilds from scratch on any
+    # mismatch, so results are bit-identical by construction (pinned by
+    # tests/test_frontier.py overlap parity).  Only engaged on fused
+    # broadcast-path generations with a plan-only schedule
+    # (global_batch <= 150k) and no sharded/cuckoo filter (those replace
+    # the filter object every generation, which would always invalidate).
+    overlap_plan: bool = False
     collect_metrics: bool = True
 
 
@@ -709,6 +722,47 @@ class _AsyncSave:
             raise err
 
 
+class _AsyncPlan:
+    """One-shot background plan builder (driver-thread overlap).
+
+    Spark plan construction is py4j + Catalyst analysis work on the
+    driver; running it on a second thread while the main thread blocks
+    in the current generation's heavy job overlaps the loop's serial
+    plan term with executor compute.  Build errors are captured, not
+    raised — the caller falls back to a fresh foreground build (which
+    would surface any real defect)."""
+
+    def __init__(self, fn):
+        import threading
+        self.result = None
+        self.error: BaseException | None = None
+
+        def run():
+            try:
+                self.result = fn()
+            except BaseException as e:   # speculative: never kills the loop
+                self.error = e
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        self._t.join()
+        return self.result
+
+
+def _gate_decisions(cfg: CrawlConfig, frontier_size: int | None) -> tuple:
+    """The three result-identical-optimization gates a crawl_step plan
+    bakes in from frontier_size (plus the AQE toggle key, which follows
+    fused).  Two sizes with equal decisions produce interchangeable
+    plans — the overlap-mode validation predicate."""
+    fused = frontier_size is not None and frontier_size < cfg.fuse_below_rows
+    salt_on = frontier_size is None or frontier_size >= cfg.salt_phase_min_rows
+    topk_skip = (frontier_size is not None
+                 and frontier_size <= cfg.global_batch)
+    return (fused, salt_on, topk_skip)
+
+
 def _part_files(path: str) -> list[dict]:
     """Per-partition lineage entry for one written parquet artifact:
     the part files with their byte sizes, straight off the filesystem
@@ -1089,6 +1143,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                          if robots is not None else None)
     aqe_key = "spark.sql.adaptive.enabled"
     aqe_orig = spark.conf.get(aqe_key, "true")
+    pending: dict | None = None   # overlap-thread pre-built next plan
     try:
         for gen in range(start_gen, generations):
             # fused small-generation mode: see crawl_step.  Off when the
@@ -1173,10 +1228,36 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             prev_frontier_handle = frontier   # current gen's persisted frontier
             prev_frontier_delta = seen_parts[-1]   # lazy delta reading its blocks
             _t0 = time.perf_counter()
-            frontier, new_seen, cdx, metrics = crawl_step(
-                pages, frontier, seen, robots, cfg, gen, bloom=bloom,
-                recent=recent, frontier_size=frontier_size, fused=fused,
-                host_budgets=host_budgets, robots_rules=robots_rules_plan)
+            # a plan pre-built on the overlap thread last generation is
+            # used ONLY if every assumption it baked in still holds:
+            # same gate decisions under the ACTUAL frontier size, the
+            # same live filter object (any rebuild/flush/insert replaces
+            # it), the same recent-delta composition, no compaction, no
+            # resume guard.  Otherwise it is discarded and the plan is
+            # rebuilt fresh — results identical either way.
+            used_prebuilt = False
+            if (pending is not None and pending["gen"] == gen and fused
+                    and emitted_keys is None
+                    and pending["bloom"] is bloom
+                    and pending["recent_ids"]
+                    == tuple(id(p) for p in recent_parts)
+                    and pending["n_seen_parts"] == len(seen_parts)
+                    and pending["decisions"]
+                    == _gate_decisions(cfg, frontier_size)):
+                frontier, new_seen, cdx, metrics = pending["result"]
+                metrics["plan_overlapped"] = True
+                used_prebuilt = True
+            else:
+                # a discarded speculative plan was never materialized —
+                # its lazy checkpoint marks hold no blocks; just drop it
+                frontier, new_seen, cdx, metrics = crawl_step(
+                    pages, frontier, seen, robots, cfg, gen, bloom=bloom,
+                    recent=recent, frontier_size=frontier_size, fused=fused,
+                    host_budgets=host_budgets,
+                    robots_rules=robots_rules_plan)
+                if pending is not None:
+                    metrics["overlap_discarded"] = True
+            pending = None
             _t1 = time.perf_counter()   # plan construction (+ fetch-bloom job)
             scratch = metrics.pop("_scratch", [])
             delta_handle = metrics.pop("_delta_handle", None)
@@ -1189,13 +1270,71 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             # free observe() metrics.  In fused mode this is the generation's
             # ONLY heavy job: selection, fetch, parse, discovery, bloom
             # check, exact anti-join and union all materialize inside it.
-            obs_f = Observation()
-            frontier = (frontier.observe(
-                obs_f, F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("generation") == gen + 1, 1).otherwise(0))
-                .alias("novel"))
-                .localCheckpoint(eager=True))
-            vals = obs_f.get
+            #
+            # overlap_plan: while that job runs in THIS thread, a second
+            # driver thread pre-builds generation gen+1's plan against the
+            # lazy checkpoint handle (plan construction is pure driver
+            # py4j/Catalyst work; Spark supports concurrent submission).
+            # An observe() records nothing under a lazy checkpoint
+            # (verified, BENCH.md), so this path takes the counts as two
+            # jobs instead: the materializing count() IS the heavy job,
+            # and the novel count re-reads the persisted blocks (~0.1s).
+            do_overlap = (
+                cfg.overlap_plan and fused and gen + 1 < generations
+                and emitted_keys is None
+                and cfg.global_batch <= 150_000
+                and cfg.global_batch <= cfg.broadcast_batch_max_rows
+                and len(seen_parts) + 1 < cfg.seen_compact_parts
+                and (bloom is None or isinstance(bloom, tuple)))
+            spec_delta_cur = None
+            if do_overlap:
+                frontier = frontier.localCheckpoint(eager=False)
+                spec_delta_cur = (frontier
+                                  .where(F.col("generation") == gen + 1)
+                                  .select("urlkey")
+                                  .localCheckpoint(eager=False))
+                spec_seen = _union_all(seen_parts + [spec_delta_cur])
+                spec_recent_parts = (recent_parts + [spec_delta_cur]
+                                     if bloom is not None
+                                     else list(recent_parts))
+                spec_recent = (_union_all(spec_recent_parts)
+                               if spec_recent_parts else None)
+                spec_fs = frontier_size   # speculated; validated at use
+                _ckpt, _bl = frontier, bloom
+
+                def _build(ckpt=_ckpt, sseen=spec_seen, srec=spec_recent,
+                           g=gen + 1, fs=spec_fs, bl=_bl):
+                    return crawl_step(
+                        pages, ckpt, sseen, robots, cfg, g, bloom=bl,
+                        recent=srec, frontier_size=fs, fused=True,
+                        host_budgets=host_budgets,
+                        robots_rules=robots_rules_plan)
+
+                plan_thread = _AsyncPlan(_build)
+                n_rows = frontier.count()           # the heavy job
+                vals = {"n": n_rows,
+                        "novel": frontier
+                        .where(F.col("generation") == gen + 1).count()}
+                res = plan_thread.join()
+                if res is not None:
+                    pending = {
+                        "gen": gen + 1, "result": res, "bloom": _bl,
+                        "recent_ids": tuple(id(p)
+                                            for p in spec_recent_parts),
+                        # seen_parts gains this generation's delta below
+                        "n_seen_parts": len(seen_parts) + 1,
+                        "decisions": _gate_decisions(cfg, spec_fs),
+                    }
+                elif plan_thread.error is not None:
+                    metrics["overlap_error"] = repr(plan_thread.error)
+            else:
+                obs_f = Observation()
+                frontier = (frontier.observe(
+                    obs_f, F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("generation") == gen + 1, 1)
+                          .otherwise(0)).alias("novel"))
+                    .localCheckpoint(eager=True))
+                vals = obs_f.get
             _t2 = time.perf_counter()   # the heavy frontier job
             frontier_size = int(vals["n"])
             metrics["frontier_size"] = frontier_size
@@ -1219,7 +1358,9 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 # snapshot per generation (measured ~2x on the 3-generation
                 # loop), and the superseded frontier snapshot is freed on
                 # schedule instead of being pinned by its seen part
-                new_seen = (frontier.where(F.col("generation") == gen + 1)
+                new_seen = (spec_delta_cur if spec_delta_cur is not None
+                            else frontier
+                            .where(F.col("generation") == gen + 1)
                             .select("urlkey").localCheckpoint(eager=False))
                 delta_handle = new_seen
             if emitted_keys is not None:

@@ -1109,3 +1109,35 @@ def test_frontier_top_priority_ties_across_file_boundaries(spark, tmp_path):
         got = [key(r) for r in sorted(
             frontier_top(spark, root, n).collect(), key=key)]
         assert got == want, f"two-level frontier diverges at n={n}"
+
+
+def test_overlap_plan_parity_and_engagement(spark, world):
+    """CrawlConfig(overlap_plan=True) pre-builds generation g+1's plan on
+    a second driver thread while g's job runs — results must be
+    IDENTICAL to the sequential build (seen, cdx, frontier), the
+    speculative plan must actually engage (non-vacuous), and a loop that
+    invalidates the speculation (filter rebuilt every generation) must
+    fall back to fresh builds with identical results too."""
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200)
+
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
+                sorted(tuple(r) for r in f.collect()), m)
+
+    seq = run(CrawlConfig(**base))
+    ovl = run(CrawlConfig(overlap_plan=True, **base))
+    assert seq[:3] == ovl[:3], "overlap_plan changed crawl results"
+    assert any(m.get("plan_overlapped") for m in ovl[3]), \
+        "vacuous: no generation used a pre-built plan"
+
+    # bloom active from the first keys: the global filter object is
+    # rebuilt/flushed along the way; validation must catch any change
+    seq_b = run(CrawlConfig(bloom_min_keys=1, bloom_rebroadcast_keys=1,
+                            **base))
+    ovl_b = run(CrawlConfig(overlap_plan=True, bloom_min_keys=1,
+                            bloom_rebroadcast_keys=1, **base))
+    assert seq_b[:3] == ovl_b[:3], \
+        "overlap_plan changed results under live-filter maintenance"
