@@ -1127,16 +1127,24 @@ def test_overlap_plan_parity_and_engagement(spark, world):
                 sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
                 sorted(tuple(r) for r in f.collect()), m)
 
-    seq = run(CrawlConfig(**base))
+    seq = run(CrawlConfig(overlap_plan=False, **base))
     ovl = run(CrawlConfig(overlap_plan=True, **base))
     assert seq[:3] == ovl[:3], "overlap_plan changed crawl results"
     assert any(m.get("plan_overlapped") for m in ovl[3]), \
         "vacuous: no generation used a pre-built plan"
+    # growth-aware frontier-size speculation (extrapolating the last
+    # observed growth ratio): on this deterministic world BOTH eligible
+    # generations (1 and 2, pre-built while 0 and 1 ran) must land on
+    # the right side of every gate and engage — a raw current-size
+    # guess strands plans that cross the top-k/salt boundaries
+    assert sum(bool(m.get("plan_overlapped")) for m in ovl[3]) == 2, \
+        f"expected both eligible generations to use pre-built plans: " \
+        f"{[(m.get('plan_overlapped'), m.get('overlap_discarded')) for m in ovl[3]]}"
 
     # bloom active from the first keys: the global filter object is
     # rebuilt/flushed along the way; validation must catch any change
-    seq_b = run(CrawlConfig(bloom_min_keys=1, bloom_rebroadcast_keys=1,
-                            **base))
+    seq_b = run(CrawlConfig(overlap_plan=False, bloom_min_keys=1,
+                            bloom_rebroadcast_keys=1, **base))
     ovl_b = run(CrawlConfig(overlap_plan=True, bloom_min_keys=1,
                             bloom_rebroadcast_keys=1, **base))
     assert seq_b[:3] == ovl_b[:3], \
