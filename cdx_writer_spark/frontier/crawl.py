@@ -1413,10 +1413,26 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 seen_count += novel
                 if bloom is not None and novel:
                     if isinstance(bloom, ShardedCuckoo):
-                        # insert the delta keys into their shards (co-grouped
-                        # job, like the sharded bloom's merge but an insert —
-                        # a cuckoo table can't be OR-ed)
-                        newf = sharded_cuckoo_insert(bloom, new_seen, "urlkey")
+                        if seen_count > bloom_cap:
+                            # the delta would push the filter past its design
+                            # load — a bloom just degrades fpp when overfull,
+                            # but a cuckoo shard HARD-FAILS once its kick loop
+                            # can't place a fingerprint.  Rebuild over the
+                            # full set with fresh headroom instead of folding
+                            # the delta (same cadence the top-of-loop rebuild
+                            # would have used one generation too late).
+                            bloom_cap = max(4 * seen_count,
+                                            cfg.bloom_min_keys)
+                            n_shards = cfg.bloom_shards or max(
+                                16, -(-bloom_cap // 16_000_000))
+                            newf = build_sharded_cuckoo(
+                                seen, "urlkey", n_shards, capacity=bloom_cap)
+                        else:
+                            # insert the delta keys into their shards
+                            # (co-grouped job, like the sharded bloom's merge
+                            # but an insert — a cuckoo table can't be OR-ed)
+                            newf = sharded_cuckoo_insert(bloom, new_seen,
+                                                         "urlkey")
                         old_bloom_df = bloom.df
                         bloom = ShardedCuckoo(
                             newf.df.localCheckpoint(eager=True),

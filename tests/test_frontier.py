@@ -776,6 +776,46 @@ def test_run_crawl_cuckoo_filter_equals_exact(spark, world):
     assert e[2] == c[2], "frontier differs under loop cuckoo filter"
 
 
+def test_run_crawl_cuckoo_survives_capacity_overflow(spark):
+    """Regression: the sharded cuckoo is built with 4x-seen headroom,
+    but a discovery-phase generation can find MORE novel keys than that
+    before the next top-of-loop rebuild check — the delta insert then
+    overflowed a shard and the kick loop hard-failed ('cuckoo filter
+    over capacity'; blooms just degrade fpp when overfull).  The loop
+    must rebuild-with-headroom instead of folding an overflowing delta,
+    and stay byte-identical to the exact-join crawl.  Shape: tiny seed
+    set (seen_count ~ tens) over a branching world whose first
+    generation discovers hundreds of novel urlkeys."""
+    pages = synth_pages(spark, 4000, n_hosts=200, partitions=8)
+    seeds = synth_seeds(spark, 30, 4000, n_hosts=200)
+    robots = synth_robots(spark, n_hosts=200)
+    base = dict(per_host_budget=64, global_batch=1000)
+
+    def run(cfg):
+        f, seen, cdx, m = run_crawl(spark, pages, seeds, robots, cfg, 3)
+        return (sorted(r["urlkey"] for r in seen.collect()),
+                sorted((r["urlkey"], r["generation"]) for r in cdx.collect()),
+                [x["novel"] for x in m])
+
+    e = run(CrawlConfig(use_bloom=False, **base))
+    c = run(CrawlConfig(seen_filter="cuckoo", bloom_min_keys=1, **base))
+    # the shape must actually exercise the overflow path: replay the
+    # loop's own sizing rule (cap = 4x keys at every (re)build) over the
+    # observed novel-per-generation sequence and require that some
+    # generation's delta pushed the count past the standing cap — the
+    # exact condition under which the old code overflowed a shard
+    n0 = len(e[0]) - sum(e[2])     # initial (seed) urlkey count
+    cap, cnt, hit = 4 * n0, n0, False
+    for nov in e[2]:
+        cnt += nov
+        if cnt > cap:
+            hit, cap = True, 4 * cnt
+    assert hit, \
+        f"vacuous shape: novel-per-gen {e[2]} never outgrows the filter"
+    assert e[0] == c[0], "seen differs after cuckoo overflow rebuild"
+    assert e[1] == c[1], "cdx differs after cuckoo overflow rebuild"
+
+
 def test_recrawl_expiry_through_loop(spark, world, tmp_path):
     """Recrawl THROUGH run_crawl: expire previously-crawled urlkeys at
     resume; with seen_filter='cuckoo' the expiry is a sharded DELETE
