@@ -157,19 +157,61 @@ SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine near-dup (rows-only).  The input unions
+    """Random-hyperplane LSH cosine near-dup, DuckDB-oracled: embeddings
+    are cast to float64 up front so both engines run the identical
+    double-precision arithmetic (sequential dot products are bit-equal —
+    verified over every sf0.01 vector), and the md5-derived hyperplanes
+    are inlined as double literals in the oracle SQL.  The input unions
     deterministic planted near-dups (vec_id+100000, embedding scaled by
     1.01 — cosine 1.0, identical sign sketch) so the check is non-vacuous:
     >= one pair per planted duplicate must be found."""
     from cdx_writer_spark.operators.dedup import embedding_near_dup
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id", "embedding"))
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
     planted = (emb.filter(F.col("vec_id") < 40)
                .select((F.col("vec_id") + 100000).alias("vec_id"),
                        F.transform("embedding", lambda x: x * F.lit(1.01))
-                       .cast("array<float>").alias("embedding")))
+                       .alias("embedding")))
     return (embedding_near_dup(emb.unionByName(planted), threshold=0.9)
             .orderBy("vec_a", "vec_b"))
+
+
+def _oracle_near_dup_lsh() -> str:
+    """Generate the near-dup oracle with the plane constants inlined
+    (repr() round-trips doubles exactly; DuckDB parses them back to the
+    identical float64 Spark embeds via F.lit).  Testdata embeddings are
+    64-dimensional at every sf."""
+    from cdx_writer_spark.operators.dedup import lsh_planes
+    rows = ",\n  ".join(
+        "(%d, [%s])" % (p, ", ".join(repr(v) for v in row))
+        for p, row in enumerate(lsh_planes(12, 64, seed=7)))
+    return f"""
+WITH emb0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb AS (
+  SELECT vec_id, v FROM emb0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(v, x -> x * CAST(1.01 AS DOUBLE)) AS v
+  FROM emb0 WHERE vec_id < 40),
+planes(p, pv) AS (VALUES
+  {rows}),
+sk AS (
+  SELECT vec_id, v,
+         string_agg(CASE WHEN list_dot_product(v, pv) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM emb CROSS JOIN planes GROUP BY vec_id, v),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= 0.9 ORDER BY vec_a, vec_b
+"""
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,23 +308,54 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-media decode plumbing over Arrow batches (stub kernel —
-    image libs absent in this container; rows-only).  The raw
-    ``array<float>`` feature column is projected to hashable scalars
-    (sum + dim + csv) because the driver canonicalizer sorts rows with
+    """Binary-media decode plumbing over Arrow batches — DuckDB-oracled
+    end-to-end.  The decode kernel is the loudly-declared deterministic
+    stub (image libs absent in this container), but the stub is a pure
+    function of the synthesized payload (ASCII hex of sha2(media_id)
+    repeated), so the ENTIRE pipeline — synth, mapInPandas batch
+    iteration, schema, histogram feature — is reproducible in SQL: the
+    16-bin high-nibble histogram of hex text collapses to digit /
+    non-digit counts, whose normalized values (digits/64) are exact in
+    float32.  The ``array<float>`` feature is projected to 16 scalar
+    double columns because the driver canonicalizer sorts rows with
     pandas, which cannot factorize list-valued cells."""
     from cdx_writer_spark.operators.multimodal import (image_features,
                                                        synth_media)
     feats = image_features(synth_media(spark, 100))
     return (feats.select(
         "media_id", "width", "height", "format",
-        F.round(F.expr("aggregate(feature, cast(0.0 as double),"
-                       " (a, x) -> a + x)"), 6).alias("feature_sum"),
         F.size("feature").alias("feature_dim"),
-        F.concat_ws(",", F.transform(
-            "feature", lambda x: F.round(x, 4).cast("string")))
-        .alias("feature_csv"))
+        *[F.element_at("feature", i + 1).cast("double").alias(f"f{i:02d}")
+          for i in range(16)])
         .orderBy("media_id"))
+
+
+# mirrors operators/multimodal.py synth_media + _decode_image_stub: payload
+# is the 64-char sha256 hex repeated 64x (4096 ASCII bytes), so hist[b>>4]
+# is nonzero only at bin 3 (digits '0'-'9', ASCII 48-57) and bin 6 (chars
+# 'a'-'f', ASCII 97-102); width/height come from the first two bytes.
+ORACLE_MULTIMODAL = """
+WITH m AS (
+  SELECT range AS media_id,
+         sha256(CAST(range AS VARCHAR)) AS hex
+  FROM range(100)),
+d AS (
+  SELECT media_id,
+         1 + ascii(substr(hex, 1, 1)) AS width,
+         1 + ascii(substr(hex, 2, 1)) AS height,
+         CAST(length(regexp_replace(hex, '[^0-9]', '', 'g')) AS DOUBLE)
+           AS digits
+  FROM m)
+SELECT media_id, width, height,
+       'stub/raw' AS format, 16 AS feature_dim,
+       CAST(0.0 AS DOUBLE) AS f00, CAST(0.0 AS DOUBLE) AS f01, CAST(0.0 AS DOUBLE) AS f02,
+       digits / 64.0 AS f03,
+       CAST(0.0 AS DOUBLE) AS f04, CAST(0.0 AS DOUBLE) AS f05,
+       (64.0 - digits) / 64.0 AS f06,
+       CAST(0.0 AS DOUBLE) AS f07, CAST(0.0 AS DOUBLE) AS f08, CAST(0.0 AS DOUBLE) AS f09, CAST(0.0 AS DOUBLE) AS f10, CAST(0.0 AS DOUBLE) AS f11,
+       CAST(0.0 AS DOUBLE) AS f12, CAST(0.0 AS DOUBLE) AS f13, CAST(0.0 AS DOUBLE) AS f14, CAST(0.0 AS DOUBLE) AS f15
+FROM d ORDER BY media_id
+"""
 
 
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = ORACLE_LANG_ID
     o["dedup_simhash_pairs"] = ORACLE_SIMHASH_PAIRS
     o["similarity_ivf_topk"] = ORACLE_IVF_TOPK
+    o["embedding_near_dup_lsh"] = _oracle_near_dup_lsh()
+    o["multimodal_image_features"] = ORACLE_MULTIMODAL
     # the streaming run must reproduce the batch tumbling-window oracle
     o["streaming_tumbling_window"] = catalog.ORACLE_TUMBLING
     return o

@@ -152,17 +152,26 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 7) -> list:
+    """Deterministic random-hyperplane constants: uniform in [-1, 1) from
+    the first 4 md5 bytes of ``seed:plane:dim_index``.  Pure function of
+    its arguments — the SQL oracle inlines exactly these doubles as
+    literals, so Spark and DuckDB evaluate the same sketch."""
+    import hashlib
+    return [[(int.from_bytes(
+        hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:4],
+        "big") / 2**31 - 1.0) for d in range(dim)] for p in range(n_planes)]
+
+
 def embedding_near_dup(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", n_planes: int = 12,
                        threshold: float = 0.95, seed: int = 7) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: sign-sketch bucket join,
     exact cosine inside buckets.  Hyperplanes are pseudo-random but
-    deterministic (xxhash64 of (plane, dim)), so the operator is stable
+    deterministic (md5 of (seed, plane, dim)), so the operator is stable
     across runs and parallelism."""
     dim = len(emb.select(vec_col).first()[0])
-    plane = [[(int.from_bytes(
-        __import__("hashlib").md5(f"{seed}:{p}:{d}".encode()).digest()[:4],
-        "big") / 2**31 - 1.0) for d in range(dim)] for p in range(n_planes)]
+    plane = lsh_planes(n_planes, dim, seed)
     planes = F.array(*[F.array(*[F.lit(v) for v in row]) for row in plane])
     sketch = F.transform(
         planes, lambda pl: (F.aggregate(
