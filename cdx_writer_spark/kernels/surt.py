@@ -223,6 +223,42 @@ def parse_url(url: bytes):
     return scheme, userinfo, netloc, port, path, query, frag
 
 
+# Fast-path guard: URLs for which every canonicalization stage below is
+# provably the identity, so the SURT form follows from pure string ops.
+# Constraints encoded in the regex (each maps to a stage it neutralizes):
+#   * literal lowercase "http://"         -> scheme parse, no default-port
+#   * no userinfo/port (charset excludes ':' '@' in the host part)
+#   * host = 2+ dot-separated [a-z0-9-] labels with >= one LETTER in the
+#     first label char or anywhere (checked below)  -> lower()/strip('.')/
+#     '..'-collapse/IP-normalization/escaping are all no-ops
+#   * host does not match ^www\d*\.       -> www-strip is a no-op
+#   * path charset [a-z0-9_./-] with no '%', '?', '#', space, upper,
+#     ';', '(' -> unescape/escape/lower()/session-id strips are no-ops
+#   * "//", "/." further excluded below   -> path resolution is a no-op
+# Everything else falls through to the full algorithm (identical result
+# by construction; pinned by tests/test_surt_properties.py fuzz parity).
+_FAST_RE = re.compile(
+    rb"^http://(?!www\d*\.)"
+    rb"([a-z0-9-]+(?:\.[a-z0-9-]+)+)"
+    rb"(/[a-z0-9_./-]*)?$")
+_ALPHA_RE = re.compile(rb"[a-z]")
+
+
+def _surt_fast(url: bytes) -> str | None:
+    """SURT of a provably-trivial URL, or None to use the full path."""
+    m = _FAST_RE.match(url)
+    if m is None:
+        return None
+    host, path = m.group(1), m.group(2) or b""
+    if _ALPHA_RE.search(host) is None:
+        return None        # all-digit hosts enter IP normalization
+    if b"//" in path or b"/." in path:
+        return None        # duplicate-slash / dot-segment resolution
+    if path.endswith(b"/") and len(path) > 1:
+        path = path[:-1]
+    return (b",".join(host.split(b".")[::-1]) + b")" + path).decode("ascii")
+
+
 def surt(url: bytes | str) -> str:
     """Canonicalize ``url`` to its SURT form (lowercased), mirroring the
     reference's ``surt.surt`` behavior as pinned by the golden fixtures.
@@ -232,6 +268,17 @@ def surt(url: bytes | str) -> str:
         return "-"
     if isinstance(url, str):
         url = url.encode("utf-8", "surrogateescape")
+    fast = _surt_fast(url)
+    if fast is not None:
+        return fast
+    return _surt_full(url)
+
+
+def _surt_full(url: bytes) -> str:
+    """The full canonicalization pipeline (every URL the fast path
+    declines).  Kept separately callable so the fast==full fuzz parity
+    test (tests/test_surt_properties.py) can compare both on inputs the
+    fast path accepts."""
     for p in _PASSTHROUGH_PREFIXES:
         if url.lower().startswith(p):
             return url.decode("latin-1")
@@ -287,6 +334,10 @@ def host_of(url: bytes | str) -> str:
     try:
         if isinstance(url, str):
             url = url.encode("utf-8", "surrogateescape")
+        m = _FAST_RE.match(url)
+        if m is not None and _ALPHA_RE.search(m.group(1)) is not None:
+            # same guard as _surt_fast: canonicalization is the identity
+            return m.group(1).decode("ascii")
         _s, _u, host, _p, _pa, _q, _f = parse_url(
             url.replace(b"\t", b"").replace(b"\r", b"").replace(b"\n", b""))
         host = _canonicalize_host(host)

@@ -36,6 +36,22 @@ __all__ = ["prefix_exclude_flag", "prefix_exclude_anti"]
 
 _K, _TAG = "_xk", "_is_prefix"
 
+# Prefix-free lists up to this many entries are broadcast as ONE sorted
+# array and probed per record with a vectorized binary search — the
+# records side then never shuffles at all (the 10^10-record x 10^6-prefix
+# archive-banlist shape: optimization guide §2.4 "remove shuffles
+# outright" / §3.2 "reduce the big side before shuffling").  Above it
+# (prefix lists too big to broadcast) the range-partitioned ordered
+# merge below remains the scale path.  ~25 B/prefix -> ~250 MB at the
+# cap, comparable to a routine broadcast-join build side.
+BROADCAST_MAX_PREFIXES = 10_000_000
+# plan-stats gate for the same decision without running a count() job:
+# the optimizer's sizeInBytes estimate of the prefix frame (the signal
+# Spark's own broadcast planning uses).  1 GiB estimated comfortably
+# covers 10^6-10^7 short prefixes and is far below what a 10^9-row
+# banlist estimates at.
+BROADCAST_MAX_PREFIX_EST_BYTES = 1 << 30
+
 
 def _ascii_below_del(arr) -> bool:
     """True iff every byte of every string in the Arrow array is < 0x7f
@@ -73,6 +89,156 @@ def _startswith_batch(keys: np.ndarray, gov: np.ndarray) -> np.ndarray:
                      for k, p in zip(keys, gov)], dtype=bool)
 
 
+def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
+                           key: str, flag_col: str) -> DataFrame | None:
+    """Broadcast binary-search variant of the prefix flag.
+
+    The distinct prefixes come to the driver in one Arrow transfer
+    (bounded by BROADCAST_MAX_PREFIXES) and are made PREFIX-FREE with a
+    single sorted last-kept scan there — the distributed prefix_free
+    machinery (its own range shuffle + carry collect) exists for lists
+    too big for one process, which this path by definition is not.
+    Prefix-freeness makes the largest prefix <= key in lexicographic
+    order the ONLY candidate match (the same lemma the merge path rests
+    on).  The sorted list is broadcast once; each record batch runs one
+    vectorized ``np.searchsorted`` (over a fixed-width bytes array —
+    memcmp, no per-row Python — whenever the data is pure ASCII, with an
+    object-array fallback otherwise) plus the existing pyarrow
+    startswith kernel.  The records side is never shuffled,
+    checkpointed or re-scanned.
+
+    Broadcast payload: two fixed-width NumPy byte arrays shipped as raw
+    buffers — the sorted prefix-free list and its per-entry exclusive
+    upper bound ``p + '\\x7f'`` (``key.startswith(p) <=> p <= key <
+    p+'\\x7f'`` for sub-DEL ASCII) — so worker-side deserialization is a
+    memcpy.  A broadcast of the same list as 10^6 Python str objects was
+    measured costing tens of seconds of first-task unpickling across the
+    worker pool.  Non-ASCII/NUL/DEL data (never SURT keys) falls back to
+    an exact object-array search per batch."""
+    spark = records.sparkSession
+    pcol = prefixes.columns[0]
+    raw = prefixes.select(pcol).toPandas()[pcol]
+    if len(raw) > BROADCAST_MAX_PREFIXES:
+        return None          # size estimate lied; caller takes the merge
+    plist: list[str] = []
+    last = None
+    # duplicates collapse for free: a repeat of ``last`` startswith(last)
+    for u in sorted(raw.dropna()):
+        if last is None or not u.startswith(last):
+            plist.append(u)
+            last = u
+    del raw
+    arr_b = hi_b = None
+    try:
+        if plist:
+            arr_b = np.array(plist).astype("S")   # ascii; raises otherwise
+            joined = arr_b.tobytes()
+            if b"\x00" in joined or b"\x7f" in joined:
+                arr_b = None        # NUL breaks padded order; DEL breaks hi
+            else:
+                hi_b = np.array([p + "\x7f" for p in plist]).astype("S")
+    except (UnicodeEncodeError, SystemError):
+        arr_b = None
+    if arr_b is not None:
+        payload = ("bytes", arr_b.tobytes(), arr_b.dtype.str,
+                   hi_b.tobytes(), hi_b.dtype.str, len(plist))
+    else:
+        payload = ("obj", plist)
+    bc = spark.sparkContext.broadcast(payload)
+    cols = records.columns
+    schema_df = records.withColumn(flag_col, F.lit(False))
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in schema_df.dtypes)
+
+    key_i = cols.index(key)
+
+    def probe(batches):
+        import pyarrow as pa
+        p = bc.value
+        if p[0] == "bytes":
+            _, ab, adt, hb, hdt, n_pfx = p
+            pfx_b = np.frombuffer(ab, dtype=adt)
+            pfx_hi = np.frombuffer(hb, dtype=hdt)
+            pfx_obj = None
+            width = pfx_hi.dtype.itemsize
+        else:
+            pfx_obj = np.array(p[1], dtype=object)
+            n_pfx = len(pfx_obj)
+            pfx_b = pfx_hi = None
+            width = 0
+
+        def decode_fallback():
+            nonlocal pfx_obj
+            if pfx_obj is None:
+                pfx_obj = np.array([b.decode("ascii") for b in pfx_b],
+                                   dtype=object)
+            return pfx_obj
+
+        def flags_exact(karr) -> np.ndarray:
+            """Object-array path: exact for any data (non-ASCII, NUL/DEL,
+            nulls)."""
+            keys = karr.to_numpy(zero_copy_only=False)
+            flag = np.zeros(len(keys), dtype=bool)
+            mask = ~pd.isna(keys)
+            if mask.any():
+                po = decode_fallback()
+                ks = keys[mask]
+                idx = np.searchsorted(po, ks, side="right") - 1
+                gov = np.where(idx >= 0, po[np.clip(idx, 0, None)], None)
+                flag[mask] = _startswith_batch(ks, gov)
+            return flag
+
+        def flags_fast(karr) -> "np.ndarray | None":
+            """memcpy path: the key column's raw UTF-8 buffer is padded
+            into ONE fixed-width byte matrix (no per-row objects), then
+            searchsorted + one vectorized compare against the broadcast
+            hi-bounds decide every row.  Returns None when a guard trips
+            (nulls, non-string offsets, any byte >= 0x7f)."""
+            if pfx_b is None or karr.null_count:
+                return None
+            if pa.types.is_string(karr.type):
+                off_dt = np.int32
+            elif pa.types.is_large_string(karr.type):
+                off_dt = np.int64
+            else:
+                return None
+            bufs = karr.buffers()
+            off = np.frombuffer(bufs[1], dtype=off_dt)[
+                karr.offset: karr.offset + len(karr) + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            seg = data[off[0]: off[-1]]
+            if len(seg) and int(seg.max()) >= 0x7F:
+                return None
+            lens = np.diff(off)
+            cl = np.minimum(lens, width)    # truncation-safe: a fixed-
+            # width compare against entries of length <= width-1 is
+            # decided within the first width bytes (hi ends in \x7f,
+            # keys are sub-DEL)
+            out = np.zeros((len(karr), width), dtype=np.uint8)
+            pos = off[:-1, None] + np.arange(width)[None, :]
+            m = np.arange(width)[None, :] < cl[:, None]
+            out[m] = data[pos[m]]
+            ks_b = out.view(f"S{width}").ravel()
+            idx = np.searchsorted(pfx_b, ks_b, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            return (idx >= 0) & (ks_b < pfx_hi[safe])
+
+        for batch in batches:
+            karr = batch.column(key_i)
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
+            if n_pfx and len(batch):
+                flag = flags_fast(karr)
+                if flag is None:
+                    flag = flags_exact(karr)
+            else:
+                flag = np.zeros(len(batch), dtype=bool)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(flag, type=pa.bool_())],
+                names=cols + [flag_col])
+
+    return records.mapInArrow(probe, out_schema)
+
+
 def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
                         key: str = "urlkey", flag_col: str = "excluded",
                         scratch: list | None = None) -> DataFrame:
@@ -86,6 +252,27 @@ def prefix_exclude_flag(records: DataFrame, prefixes: DataFrame,
     util.free_checkpoint once the result materializes; batch callers may
     ignore it (the blocks are bounded by the input and die with the
     session)."""
+    # Small-enough lists take the broadcast binary-search path: the
+    # records side stays exactly where it was scanned — no range
+    # shuffle, no checkpoint, no boundary-carry metadata pass.  Gate on
+    # the optimizer's size ESTIMATE (free — no job): the same signal the
+    # planner's own broadcast decisions use.  An over-estimate only
+    # costs the merge path's extra shuffle; an under-estimate is bounded
+    # by the row cap re-checked after the driver collect.
+    try:
+        est = int(prefixes._jdf.queryExecution()      # noqa: SLF001
+                  .optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None
+    if est is None:
+        small = prefixes.count() <= BROADCAST_MAX_PREFIXES
+    else:
+        small = est <= BROADCAST_MAX_PREFIX_EST_BYTES
+    if small:
+        flagged = _prefix_flag_broadcast(records, prefixes, key, flag_col)
+        if flagged is not None:
+            return flagged
+
     from .banlist import prefix_free
     spark = records.sparkSession
     pf = prefix_free(prefixes.withColumnRenamed(prefixes.columns[0], "url"))

@@ -38,6 +38,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the scan under-parallelizes the session.
+
+    The testdata tables are single parquet files with 1-6 row groups, so
+    a scan — and every narrow stage after it, including md5-per-shingle
+    kernels — runs on 1-6 cores regardless of cluster size (guide §2.5
+    "input skew: one huge unsplittable file... repartition immediately
+    after the read").  Applied ONLY in queries whose downstream per-row
+    compute dominates the byte-bounded shuffle this adds, and gated TWO
+    ways so it stays data-adaptive, not core-count-tuned: it is a no-op
+    at production scale, where a many-file table already yields >= cores
+    splits, AND a no-op below 4 MB of input, where one task finishes
+    faster than the extra exchange's fixed latency (measured: sf0.1
+    quality_score 0.44s -> 0.69s with an unconditional spread)."""
+    import os
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    try:
+        nbytes = sum(os.path.getsize(f.removeprefix("file:"))
+                     for f in df.inputFiles())
+    except OSError:
+        nbytes = None
+    if nbytes is not None and nbytes < 4 * 1024 * 1024:
+        return df
+    return df.repartition(n)
+
+
 # --------------------------------------------------------------------------
 # Relational core (TPC-H-flavored — prove pushdown/agg/join/window/sort)
 # --------------------------------------------------------------------------
@@ -468,23 +496,40 @@ def dedup_minhash_lsh(spark, sf):
     token) (identical function on both engines), signature = min per seed,
     band = md5 of 2 concatenated minhashes, candidates = pairs sharing a
     band bucket.  At scale the band join is the only shuffle and is
-    hash-partitioned by bucket."""
-    d = (_t(spark, sf, "documents")
+    hash-partitioned by bucket.
+
+    Plan shape (optimization guide §2.3/§2.4 — aggregate before you
+    shuffle / remove shuffles outright): the shingles explode ONCE and
+    all 8 per-seed minhashes ride a single ``groupBy(doc_id)`` as 8
+    ``min`` aggregates (map-side partials, whole-stage codegen) instead
+    of a broadcast crossJoin that multiplied the exploded rows 8x and
+    re-aggregated them through two hash-aggregate exchanges; the band
+    buckets are then a plain projection (md5 of the sorted minhash pair)
+    rather than a second ``collect_list`` aggregation.  The md5 count is
+    unchanged (the oracle fixes it); the band-bucket self-join stays the
+    plan's only data-sized exchange.  Equivalence: min per seed over the
+    same distinct-shingle set, same band assembly; pinned by the
+    unchanged DuckDB oracle at sf0.01 (pytest) and sf0.1
+    (scripts/oracle_check.py)."""
+    d = (_spread(_t(spark, sf, "documents").select("doc_id", "text"))
          .select("doc_id", F.expr("filter(split(text,' '), t -> t <> '')")
                  .alias("toks")))
     shingles = F.expr(
         "array_distinct(transform(sequence(0, size(toks) - 3),"
         " i -> concat_ws(' ', slice(toks, i + 1, 3))))")
     tok = d.select("doc_id", F.explode(shingles).alias("token"))
-    seeds = spark.range(8).select(F.col("id").alias("seed"))
-    sig = (tok.crossJoin(F.broadcast(seeds))
-           .groupBy("doc_id", "seed")
-           .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token"))))
-                .alias("minhash")))
-    bands = (sig.withColumn("band", F.floor(F.col("seed") / 2).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))))
-                  .alias("bucket")))
+    sig = tok.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("token"))))
+        .alias(f"mh{s}") for s in range(8)])
+    bucket = [F.md5(F.concat_ws("|", F.sort_array(F.array(
+                  F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")))))
+              .alias(f"b{band}") for band in range(4)]
+    bands = (sig.select("doc_id", *bucket)
+             .select("doc_id", F.explode(F.array(*[
+                 F.struct(F.lit(band).cast("int").alias("band"),
+                          F.col(f"b{band}").alias("bucket"))
+                 for band in range(4)])).alias("bb"))
+             .select("doc_id", "bb.band", "bb.bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -648,8 +693,9 @@ ORDER BY doc_a, doc_b
 def cosine_topk(spark, sf):
     """Brute-force cosine top-k ANN baseline: 3 query vectors vs all.
     Dot products via zip_with/aggregate (JVM higher-order fns, no UDF)."""
-    emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
+    emb0 = _t(spark, sf, "embeddings")
+    emb = _spread(emb0.select("vec_id", "embedding"))
+    queries = emb0.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     dot = F.expr("aggregate(zip_with(embedding, qvec, (x, y) -> x * y), "
                  "cast(0.0 as double), (acc, v) -> acc + v)")
@@ -728,15 +774,22 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def quality_score(spark, sf):
     """Quality scoring: length, mean token length, stopword ratio — computed
-    with replace-count arithmetic (engine-portable, no regex divergence)."""
-    d = _t(spark, sf, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    with replace-count arithmetic (engine-portable, no regex divergence).
+
+    The tokenization is staged into its own projection so the
+    split+filter runs ONCE per row (CollapseProject keeps a non-cheap
+    expression referenced 4x in a separate project) instead of being
+    re-inlined into every consumer expression (guide §1.2 per-task
+    work); all downstream arithmetic is unchanged."""
+    d = _spread(_t(spark, sf, "documents").select("doc_id", "text")).select(
+        "doc_id", F.filter(F.split("text", " "),
+                           lambda t: t != "").alias("_toks"))
+    toks = F.col("_toks")
     ntok = F.size(toks)
     stop_hits = (F.size(F.filter(toks, lambda t: t == F.lit("the")))
                  + F.size(F.filter(toks, lambda t: t == F.lit("a"))))
-    mean_len = F.expr(
-        "aggregate(filter(split(text, ' '), t -> t <> ''), cast(0.0 as double),"
-        " (acc, t) -> acc + length(t))")
+    mean_len = F.aggregate(toks, F.lit(0.0),
+                           lambda acc, t: acc + F.length(t))
     out = d.select(
         "doc_id",
         ntok.alias("n_tokens"),
@@ -765,14 +818,19 @@ FROM t ORDER BY doc_id
 def doc_fingerprint(spark, sf):
     """Document fingerprinting: min-hash of word 3-shingles per doc (a
     winnowing-style representative fingerprint)."""
-    d = (_t(spark, sf, "documents")
+    d = (_spread(_t(spark, sf, "documents").select("doc_id", "text"))
          .select("doc_id", F.expr("filter(split(text,' '), t -> t <> '')")
                  .alias("toks")))
     sh = F.expr("transform(sequence(0, size(toks) - 3),"
                 " i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))")
+    # n_shingles == size(toks) - 2 by construction (the transform runs
+    # over sequence(0, size-3), no dedup), so the md5-shingle array is
+    # evaluated ONCE (for the min) instead of a second full evaluation
+    # just to take its length (guide §1.2 per-task work; the oracle
+    # itself states len(toks) - 2)
     return (d.select("doc_id",
                      F.array_min(sh).alias("fingerprint"),
-                     F.size(sh).alias("n_shingles"))
+                     (F.size("toks") - 2).alias("n_shingles"))
             .orderBy("doc_id"))
 
 

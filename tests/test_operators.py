@@ -204,13 +204,19 @@ def test_banlist_prefix_free_distributed_path(spark, monkeypatch):
     assert small == big
 
 
-def test_prefix_exclude_merge_matches_brute_force(spark):
-    """The range-partitioned ordered prefix merge (operators/exclude.py)
-    == per-row any(startswith) brute force, on adversarial inputs:
-    prefix == key, prefix chains (subsumption), keys straddling range
-    partition boundaries, prefixes with no matches."""
+@pytest.mark.parametrize("engine", ["broadcast", "merge"])
+def test_prefix_exclude_matches_brute_force(spark, monkeypatch, engine):
+    """BOTH exclude engines (broadcast binary-search and range-partitioned
+    ordered merge, operators/exclude.py) == per-row any(startswith) brute
+    force, on adversarial inputs: prefix == key, prefix chains
+    (subsumption), keys straddling range partition boundaries, prefixes
+    with no matches, and non-ASCII keys/prefixes (which force the
+    broadcast engine off its fixed-width-bytes searchsorted fast path)."""
+    from cdx_writer_spark.operators import exclude as ex_mod
     from cdx_writer_spark.operators.exclude import (prefix_exclude_anti,
                                                     prefix_exclude_flag)
+    if engine == "merge":
+        monkeypatch.setattr(ex_mod, "BROADCAST_MAX_PREFIXES", 0)
     import random
     rng = random.Random(23)
     keys = set()
@@ -219,6 +225,9 @@ def test_prefix_exclude_merge_matches_brute_force(spark):
         keys.add(k)
         if rng.random() < 0.5:
             keys.add(k + f"/q{rng.randrange(9)}")
+    # non-ascii keys: the broadcast engine must fall back to the exact
+    # object-array search for these batches
+    keys.update({"com,hé)/p1", "com,hé)/p1/ü", "com,h9)/pé"})
     prefixes = set()
     for k in rng.sample(sorted(keys), 300):
         r = rng.random()
@@ -228,7 +237,10 @@ def test_prefix_exclude_merge_matches_brute_force(spark):
             prefixes.add(k + "/zz")           # matches nothing
         else:
             prefixes.add(k[:rng.randrange(8, len(k) + 1)])
-    # planted chain: short prefix subsumes a longer one
+    # planted chain: short prefix subsumes a longer one (prefixes stay
+    # ASCII so the broadcast engine's searchsorted fast path is what the
+    # ascii batches exercise; unicode-prefix handling is pinned by
+    # test_prefix_exclude_unicode_prefixes)
     prefixes.update({"com,h1)", "com,h1)/p1/q"})
 
     expected = sorted(k for k in keys
@@ -244,9 +256,23 @@ def test_prefix_exclude_merge_matches_brute_force(spark):
     flagged = prefix_exclude_flag(rdf, pdf, key="urlkey")
     n_excl = flagged.filter("excluded").count()
     assert n_excl == len(keys) - len(expected)
-    # payload columns survive the merge untouched
+    # payload columns survive the exclude untouched
     bad = flagged.filter(F.col("klen") != F.length("urlkey")).count()
     assert bad == 0
+
+
+def test_prefix_exclude_unicode_prefixes(spark):
+    """Non-ASCII PREFIXES disable the broadcast engine's fixed-width
+    bytes fast path entirely (the list can't be ascii-encoded); the
+    object-array search must still be exact."""
+    from cdx_writer_spark.operators.exclude import prefix_exclude_anti
+    keys = ["com,hé)/a", "com,hé)/b/c", "com,h1)/x", "com,h2)/y"]
+    prefixes = ["com,hé)/b", "com,h2)"]
+    rdf = spark.createDataFrame([(k,) for k in keys], ["urlkey"])
+    pdf = spark.createDataFrame([(p,) for p in prefixes], ["prefix"])
+    got = sorted(r["urlkey"] for r in
+                 prefix_exclude_anti(rdf, pdf, key="urlkey").collect())
+    assert got == ["com,h1)/x", "com,hé)/a"]
 
 
 def test_cdx_fields_big_exclude_equals_bnlj(spark, monkeypatch):

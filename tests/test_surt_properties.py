@@ -109,3 +109,58 @@ def test_host_of_consistent_with_surt(host, path, query):
     assert (k.startswith(rev + ")") or k.startswith(rev + ":")
             or k.startswith(h + ")") or k.startswith(h + ":")), \
         f"surt key {k!r} matches neither reversed nor literal host {h!r}"
+
+
+# ---------------------------------------------------------------- fast path
+
+from cdx_writer_spark.kernels.surt import _surt_fast, _surt_full  # noqa: E402
+
+# URL soup biased to straddle the fast-path boundary: simple hosts/paths
+# plus every construct the fast guard must refuse (%-escapes, www, ports,
+# queries, fragments, dot-segments, '//', uppercase, IPs, trailing slash)
+fast_hosts = st.lists(
+    st.text(alphabet=string.ascii_lowercase + string.digits + "-",
+            min_size=1, max_size=6),
+    min_size=1, max_size=4).map(".".join)
+fast_paths = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "_./-%?#:@ A~",
+    max_size=20)
+prefixes = st.sampled_from(
+    ["http://", "https://", "HTTP://", "http://www.", "http://www2.",
+     "http://wwwx.", "", "ftp://", "http://1.2.3.4", "http://0x7f.1.2.3"])
+suffixes = st.sampled_from(["", "/", ":80", ":8080", "?b=2&a=1", "#frag",
+                            "/..", "/.", "//x", "/a/../b", "/a/./b",
+                            ";jsessionid=0123456789abcdef0123456789abcdef"])
+
+
+@settings(max_examples=2000, deadline=None)
+@given(prefixes, fast_hosts, fast_paths, suffixes)
+def test_surt_fast_path_matches_full(pre, host, path, suf):
+    """Wherever the fast path fires, its output equals the full
+    algorithm's — on a grammar dense around every guard boundary."""
+    u = f"{pre}{host}/{path}{suf}".encode()
+    fast = _surt_fast(u)
+    if fast is None:
+        return
+    assert fast == _surt_full(u), u
+
+
+@settings(max_examples=2000, deadline=None)
+@given(prefixes, fast_hosts, fast_paths, suffixes)
+def test_host_of_fast_path_matches_full(pre, host, path, suf):
+    """host_of's fast path equals the full parse+canonicalize chain."""
+    import re as _re
+    from cdx_writer_spark.kernels.surt import (_FAST_RE, _ALPHA_RE,
+                                               _IPV4_RE, _canonicalize_host,
+                                               parse_url)
+    u = f"{pre}{host}/{path}{suf}".encode()
+    m = _FAST_RE.match(u)
+    if m is None or _ALPHA_RE.search(m.group(1)) is None:
+        return
+    fast = m.group(1).decode("ascii")
+    cleaned = u.replace(b"\t", b"").replace(b"\r", b"").replace(b"\n", b"")
+    _s, _u2, h, _p, _pa, _q, _f = parse_url(cleaned)
+    h = _canonicalize_host(h)
+    if not _IPV4_RE.match(h):
+        h = _re.sub(rb"^www\d*\.", b"", h, count=1)
+    assert fast == h.decode("latin-1"), u
