@@ -172,31 +172,56 @@ def _py_url_meta_udf(record_type: pd.Series, url_raw: pd.Series,
     """The slim python side of the hot path: SURT/chardet url fields, the
     meta-robots scan, and hex->base32 of the JVM-computed sha1.  Everything
     byte-heavy (header/body split, sha1, status, mime) stays JVM-side —
-    this UDF receives only url bytes, a bounded html-head slice, and a
-    40-char digest, ~10x less Arrow transfer than shipping payloads."""
+    this UDF receives only url bytes, a bounded html-head slice (already
+    NULL for pages with no <meta> tag at all — the JVM gate), and a
+    40-char digest, ~10x less Arrow transfer than shipping payloads.
+
+    Per-row work is inlined from kernels.fields get_massaged_url /
+    get_original_url (same dispatch, minus a dataclass construction per
+    row — measured ~1us/row across 10^7-row index runs), and the
+    meta-flag assembly for sliceless rows is memoized on the raw
+    (x-robots, sfps) header pair, which is near-constant per crawl."""
     import base64
 
     from cdx_writer_spark.kernels import fields as K
-    from cdx_writer_spark.kernels.warcrec import Record
+    from cdx_writer_spark.kernels.encdetect import to_unicode_like_reference
+    from cdx_writer_spark.kernels.surt import surt
 
-    out = {"urlkey": [], "original_url": [], "meta_flags": [],
-           "checksum_fab": []}
+    fake = K.FAKE_BUILD_VERSION
+    flag_cache: dict = {}
+    urlkeys, origs, flags, fabs = [], [], [], []
     for rt, url, fn, ms, xr, sf, fh in zip(record_type, url_raw, filename,
                                            meta_slice, x_robots, sfps,
                                            fab_hex):
-        rec = Record(
-            filename=fn, record_idx=0, offset=0, compressed_size=None,
-            record_type=rt, url=bytes(url) if url is not None else None,
-            date_raw=None, content_type=None, content_length_hdr=None,
-            payload=b"", headers={})
-        out["urlkey"].append(K.get_massaged_url(rec, fn))
-        out["original_url"].append(K.get_original_url(rec, fn))
-        meta = (K.meta_tags_from_html(bytes(ms)) if ms is not None else None)
-        out["meta_flags"].append(K.aif_flags(meta, xr, sf))
-        out["checksum_fab"].append(
-            base64.b32encode(bytes.fromhex(fh)).decode("ascii")
-            if fh is not None else None)
-    return pd.DataFrame(out)
+        if rt == "warcinfo":
+            w = "warcinfo:/%s/%s" % (fn, fake)
+            urlkeys.append(w)
+            origs.append(w)
+        else:
+            b = bytes(url) if url is not None else b""
+            orig = (to_unicode_like_reference(b)
+                    .replace("\r", "%0D").replace("\n", "%0A")
+                    .replace("\x0c", "%0C").replace("\x00", "%00"))
+            origs.append(orig)
+            try:
+                urlkeys.append(surt(b))
+            except Exception:   # bare fallback mirrors cdx_writer.py:290
+                urlkeys.append(orig)
+        if ms is not None:
+            flags.append(K.aif_flags(K.meta_tags_from_html(bytes(ms)),
+                                     xr, sf))
+        else:
+            ck = (xr, sf)
+            v = flag_cache.get(ck)
+            if v is None:
+                v = K.aif_flags(None, xr, sf)
+                if len(flag_cache) < 4096:
+                    flag_cache[ck] = v
+            flags.append(v)
+        fabs.append(base64.b32encode(bytes.fromhex(fh)).decode("ascii")
+                    if fh is not None else None)
+    return pd.DataFrame({"urlkey": urlkeys, "original_url": origs,
+                         "meta_flags": flags, "checksum_fab": fabs})
 
 
 def _jvm_fields(df: DataFrame) -> DataFrame:
@@ -369,6 +394,12 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
     hp = F.col("_hp")
     slice_s = (F.when(hp > 0, pay.substr(cstart, hp + F.lit(4102)))
                .otherwise(pay.substr(cstart, F.length(pay))))
+    # (A JVM-side "<meta" pre-gate on the slice — lower()+locate so rows
+    # with no meta tag ship nothing to Python — was measured this round:
+    # +4s of JVM time per 10^7-row index run against a Python saving
+    # that is hidden anyway, because ArrowEvalPython pipelines the
+    # Python scan behind the JVM stage on the 2-cpu index tasks.
+    # Rejected; evidence in OPTIMIZATION_r06.md.)
     df = (df.withColumn("_status", status)
             .withColumn("_x_robots", header("x-robots-tag"))
             .withColumn("_meta_slice",
