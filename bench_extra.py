@@ -71,7 +71,7 @@ def main():
             (QUERIES[name](spark, args.sf_dir)
              .write.format("noop").mode("overwrite").save())
             runs.append(round(time.time() - t0, 3))
-        out[name] = {"best": min(runs), "runs": runs}
+        out[name] = {"best": min(runs) if runs else None, "runs": runs}
     print(json.dumps({"sf_dir": args.sf_dir, "cpus": args.cpus,
                       "queries": out}))
 

@@ -89,6 +89,70 @@ def _startswith_batch(keys: np.ndarray, gov: np.ndarray) -> np.ndarray:
                      for k, p in zip(keys, gov)], dtype=bool)
 
 
+def _build_payload(raw) -> tuple:
+    """Driver-side prefix-free reduction of a raw (dup-laden) prefix
+    Series -> the broadcast payload, fully vectorized on the ASCII path:
+
+    1. ascii-encode to a fixed-width bytes matrix and memcmp-sort;
+    2. prefix-free via the interval trick: entry ``a[i]`` is subsumed
+       iff some earlier entry ``p`` has ``p <= a[i] < p+'\\x7f'``, and
+       because subsumed intervals NEST (``s`` startswith ``p`` implies
+       ``s+'\\x7f' < p+'\\x7f'`` for sub-DEL data), the test collapses
+       to one cumulative max over the per-entry upper bounds — no
+       sequential Python scan (measured ~1s at 850k prefixes);
+    3. the kept rows and their bounds ship as raw buffers.
+
+    Non-ASCII / NUL / DEL lists (never SURT data) take the exact
+    object-path: Python sort + last-kept scan, shipped as str objects."""
+    vals = raw.dropna()
+    try:
+        arr = vals.to_numpy().astype("S")      # ascii; raises otherwise
+        n = len(arr)
+        if n == 0:
+            return ("bytes", b"", "|S1", b"", "|S1", 0)
+        L = arr.dtype.itemsize
+        M = np.ascontiguousarray(np.sort(arr)).view(np.uint8).reshape(n, L)
+        if M.max() >= 0x7F:                    # DEL breaks the hi-bound
+            raise UnicodeEncodeError("ascii", "", 0, 1, "del byte")
+        # keys/prefixes carry no interior NULs (ascii strings), so the
+        # per-row length is the nonzero count and the exclusive upper
+        # bound is the row with '\x7f' appended at its length
+        lens = (M != 0).sum(axis=1)
+        if int(lens.sum()) != int(vals.str.len().sum()):
+            # an interior NUL byte (legal in a Python str, ascii-encodable)
+            # would corrupt both the length derivation and padded order
+            raise UnicodeEncodeError("ascii", "", 0, 1, "interior NUL")
+        H = np.zeros((n, L + 1), dtype=np.uint8)
+        H[:, :L] = M
+        H[np.arange(n), lens] = 0x7F
+        hi_all = H.view(f"S{L + 1}").ravel()
+        a_all = M.view(f"S{L}").ravel()
+        # lexicographic running max by doubling (np.maximum has no bytes
+        # loop, but elementwise comparison does): log2(n) vectorized
+        # passes
+        cummax = hi_all.copy()
+        shift = 1
+        while shift < n:
+            tail, head = cummax[shift:], cummax[:-shift]
+            cummax[shift:] = np.where(tail >= head, tail, head)
+            shift *= 2
+        kept = np.ones(n, dtype=bool)
+        # compare against the bound cummax of STRICTLY EARLIER rows
+        kept[1:] = ~(a_all[1:].astype(hi_all.dtype) < cummax[:-1])
+        arr_b = np.ascontiguousarray(a_all[kept])
+        hi_b = np.ascontiguousarray(hi_all[kept])
+        return ("bytes", arr_b.tobytes(), arr_b.dtype.str,
+                hi_b.tobytes(), hi_b.dtype.str, int(kept.sum()))
+    except (UnicodeEncodeError, SystemError):
+        plist: list[str] = []
+        last = None
+        for u in sorted(vals):
+            if last is None or not u.startswith(last):
+                plist.append(u)
+                last = u
+        return ("obj", plist)
+
+
 def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
                            key: str, flag_col: str) -> DataFrame | None:
     """Broadcast binary-search variant of the prefix flag.
@@ -120,30 +184,8 @@ def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
     raw = prefixes.select(pcol).toPandas()[pcol]
     if len(raw) > BROADCAST_MAX_PREFIXES:
         return None          # size estimate lied; caller takes the merge
-    plist: list[str] = []
-    last = None
-    # duplicates collapse for free: a repeat of ``last`` startswith(last)
-    for u in sorted(raw.dropna()):
-        if last is None or not u.startswith(last):
-            plist.append(u)
-            last = u
+    payload = _build_payload(raw)
     del raw
-    arr_b = hi_b = None
-    try:
-        if plist:
-            arr_b = np.array(plist).astype("S")   # ascii; raises otherwise
-            joined = arr_b.tobytes()
-            if b"\x00" in joined or b"\x7f" in joined:
-                arr_b = None        # NUL breaks padded order; DEL breaks hi
-            else:
-                hi_b = np.array([p + "\x7f" for p in plist]).astype("S")
-    except (UnicodeEncodeError, SystemError):
-        arr_b = None
-    if arr_b is not None:
-        payload = ("bytes", arr_b.tobytes(), arr_b.dtype.str,
-                   hi_b.tobytes(), hi_b.dtype.str, len(plist))
-    else:
-        payload = ("obj", plist)
     bc = spark.sparkContext.broadcast(payload)
     cols = records.columns
     schema_df = records.withColumn(flag_col, F.lit(False))
