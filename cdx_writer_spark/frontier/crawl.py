@@ -101,11 +101,18 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     use_bloom: bool = True
     # below this many seen keys the exact anti-join beats the filter: a
-    # sub-1M-key join is sub-second and parallel, while the bloom costs a
-    # build + driver OR + broadcast per rebuild (~0.8s of core-count-
-    # independent time, measured) — pure Amdahl term until the seen set
-    # is big enough that cutting the anti-join's probe shuffle pays
-    bloom_min_keys: int = 1_000_000
+    # few-million-key join is sub-second and parallel, while the bloom
+    # costs a build job + driver OR + broadcast per rebuild plus the
+    # recent-delta bookkeeping every generation — all core-count-
+    # independent serial time.  The r6 interleaved A/B at the 2M-page /
+    # 500k-batch bench shape (the filter first engages at gen 2, ~1M
+    # seen keys) measured the 3-generation loop at 20.1-25.4s with
+    # min=4M (filter never builds) vs 29.1-81.9s with min=1M, identical
+    # CDX output — the crossover where cutting the probe shuffle pays is
+    # comfortably above 4M keys on any hardware, since the build cost
+    # itself grows with |seen| no slower than the probe saving does
+    # until |seen| >> |batch|.
+    bloom_min_keys: int = 4_000_000
     # broadcast the selected batch into the fetch/leftover joins only up
     # to this size; beyond it the driver collect+rebroadcast is a
     # measured ~1.5s/generation of serial time (and at 10^8-row
@@ -1434,9 +1441,29 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                             newf = sharded_cuckoo_insert(bloom, new_seen,
                                                          "urlkey")
                         old_bloom_df = bloom.df
+                        try:
+                            new_df = newf.df.localCheckpoint(eager=True)
+                        except Exception as e:
+                            # the global-count guard above sizes against
+                            # bloom_cap, but a cuckoo shard hard-fails
+                            # PER-SHARD: severe urlkey-hash skew can
+                            # overflow one shard while seen_count is
+                            # still under cap.  Rebuild over the full
+                            # set with fresh headroom — the same
+                            # recovery the count guard takes, one
+                            # failure later.
+                            if "over capacity" not in str(e):
+                                raise
+                            bloom_cap = max(4 * seen_count,
+                                            cfg.bloom_min_keys)
+                            n_shards = cfg.bloom_shards or max(
+                                16, -(-bloom_cap // 16_000_000))
+                            newf = build_sharded_cuckoo(
+                                seen, "urlkey", n_shards,
+                                capacity=bloom_cap)
+                            new_df = newf.df.localCheckpoint(eager=True)
                         bloom = ShardedCuckoo(
-                            newf.df.localCheckpoint(eager=True),
-                            newf.n_shards, newf.n_buckets)
+                            new_df, newf.n_shards, newf.n_buckets)
                         free_checkpoint(old_bloom_df)
                     elif use_sharded:
                         # geometry from the LIVE filter (cfg.bloom_shards is 0

@@ -1189,3 +1189,53 @@ def test_overlap_plan_parity_and_engagement(spark, world):
                             bloom_rebroadcast_keys=1, **base))
     assert seq_b[:3] == ovl_b[:3], \
         "overlap_plan changed results under live-filter maintenance"
+
+
+def test_cuckoo_insert_shard_overflow_falls_back_to_rebuild(
+        spark, world, monkeypatch):
+    """A per-shard 'cuckoo filter over capacity' failure during the
+    incremental delta insert (possible under urlkey-hash skew even when
+    the GLOBAL seen count is under bloom_cap) must trigger a full
+    rebuild with fresh headroom, not kill the loop — and the crawl's
+    output must be unchanged."""
+    from cdx_writer_spark.frontier import seen as seen_mod
+    from cdx_writer_spark.frontier.crawl import CrawlConfig, run_crawl
+    pages, seeds, robots = world
+    base = dict(per_host_budget=2, global_batch=200, seen_filter="cuckoo",
+                bloom_min_keys=1)
+
+    def cdx_set(cdx):
+        return sorted((r["urlkey"], r["generation"]) for r in cdx.collect())
+
+    _f, _s, cdx0, _m = run_crawl(spark, pages, seeds, robots,
+                                 CrawlConfig(**base), 3)
+    expected = cdx_set(cdx0)
+
+    real_insert = seen_mod.sharded_cuckoo_insert
+    boom = {"armed": True, "fired": 0}
+
+    def failing_insert(filt, keys, key="urlkey"):
+        newf = real_insert(filt, keys, key)
+        if not boom["armed"]:
+            return newf
+        boom["armed"] = False
+        boom["fired"] += 1
+
+        class _Df:
+            def localCheckpoint(self, eager=True):
+                raise ValueError(
+                    "PythonException: cuckoo filter over capacity")
+
+        class _Newf:
+            df = _Df()
+            n_shards = newf.n_shards
+            n_buckets = newf.n_buckets
+
+        return _Newf()
+
+    monkeypatch.setattr(seen_mod, "sharded_cuckoo_insert", failing_insert)
+    _f, _s, cdx1, m1 = run_crawl(spark, pages, seeds, robots,
+                                 CrawlConfig(**base), 3)
+    assert boom["fired"] == 1, "the failure injection never fired"
+    assert cdx_set(cdx1) == expected, \
+        "overflow fallback changed the crawl output"
