@@ -1449,13 +1449,16 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                             # PER-SHARD: severe urlkey-hash skew can
                             # overflow one shard while seen_count is
                             # still under cap.  Rebuild over the full
-                            # set with fresh headroom — the same
-                            # recovery the count guard takes, one
-                            # failure later.
+                            # set with ESCALATED headroom — doubling
+                            # beyond the current cap, so the retry is
+                            # never a byte-identical (and hence
+                            # deterministically-failing) repeat of a
+                            # rebuild that itself just overflowed.
                             if "over capacity" not in str(e):
                                 raise
                             bloom_cap = max(4 * seen_count,
-                                            cfg.bloom_min_keys)
+                                            cfg.bloom_min_keys,
+                                            2 * bloom_cap)
                             n_shards = cfg.bloom_shards or max(
                                 16, -(-bloom_cap // 16_000_000))
                             newf = build_sharded_cuckoo(

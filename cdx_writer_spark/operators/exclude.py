@@ -51,6 +51,12 @@ BROADCAST_MAX_PREFIXES = 10_000_000
 # covers 10^6-10^7 short prefixes and is far below what a 10^9-row
 # banlist estimates at.
 BROADCAST_MAX_PREFIX_EST_BYTES = 1 << 30
+# fixed-width kernels (driver prefix-free matrices, the probe's padded
+# key matrix) cost rows x MAX length; a single long outlier line would
+# blow that up quadratically vs the data size, so entries beyond this
+# length route the whole list to the merge path instead (SURT prefixes
+# are URL-sized, far below it)
+MAX_FAST_PREFIX_LEN = 512
 
 
 def _ascii_below_del(arr) -> bool:
@@ -103,7 +109,14 @@ def _build_payload(raw) -> tuple:
     3. the kept rows and their bounds ship as raw buffers.
 
     Non-ASCII / NUL / DEL lists (never SURT data) take the exact
-    object-path: Python sort + last-kept scan, shipped as str objects."""
+    object-path: Python sort + last-kept scan, shipped as str objects.
+
+    Memory guard: every matrix here (and the probe's padded key matrix)
+    is rows x MAX length, so one multi-KB outlier line in an otherwise
+    short list would inflate the cost quadratically vs its data size —
+    width above MAX_FAST_PREFIX_LEN or a matrix beyond ~256 MB returns
+    None and the caller takes the range-partitioned merge, whose cost is
+    bounded by sum(len)."""
     vals = raw.dropna()
     try:
         arr = vals.to_numpy().astype("S")      # ascii; raises otherwise
@@ -111,6 +124,8 @@ def _build_payload(raw) -> tuple:
         if n == 0:
             return ("bytes", b"", "|S1", b"", "|S1", 0)
         L = arr.dtype.itemsize
+        if L + 1 > MAX_FAST_PREFIX_LEN or n * (L + 1) > 256 * 1024 * 1024:
+            return None
         M = np.ascontiguousarray(np.sort(arr)).view(np.uint8).reshape(n, L)
         if M.max() >= 0x7F:                    # DEL breaks the hi-bound
             raise UnicodeEncodeError("ascii", "", 0, 1, "del byte")
@@ -157,9 +172,12 @@ def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
                            key: str, flag_col: str) -> DataFrame | None:
     """Broadcast binary-search variant of the prefix flag.
 
-    The distinct prefixes come to the driver in one Arrow transfer
-    (bounded by BROADCAST_MAX_PREFIXES) and are made PREFIX-FREE with a
-    single sorted last-kept scan there — the distributed prefix_free
+    The RAW prefix rows come to the driver in one Arrow transfer
+    (bounded by BROADCAST_MAX_PREFIXES; duplicates ride along — a
+    distinct() here measured 3-4s of extra shuffle per call at 860k
+    rows against a transfer saving that only pays on dup-heavy lists,
+    and the driver reduction collapses duplicates anyway) and are made
+    PREFIX-FREE there — the distributed prefix_free
     machinery (its own range shuffle + carry collect) exists for lists
     too big for one process, which this path by definition is not.
     Prefix-freeness makes the largest prefix <= key in lexicographic
@@ -181,11 +199,17 @@ def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
     an exact object-array search per batch."""
     spark = records.sparkSession
     pcol = prefixes.columns[0]
-    raw = prefixes.select(pcol).toPandas()[pcol]
+    # the limit BOUNDS the driver collect even when the size estimate
+    # lied low: at cap+1 rows we learn "too big" without having pulled
+    # an arbitrarily large frame first
+    raw = (prefixes.select(pcol).limit(BROADCAST_MAX_PREFIXES + 1)
+           .toPandas()[pcol])
     if len(raw) > BROADCAST_MAX_PREFIXES:
         return None          # size estimate lied; caller takes the merge
     payload = _build_payload(raw)
     del raw
+    if payload is None:
+        return None          # pathological entry lengths; merge path
     bc = spark.sparkContext.broadcast(payload)
     cols = records.columns
     schema_df = records.withColumn(flag_col, F.lit(False))
@@ -235,7 +259,7 @@ def _prefix_flag_broadcast(records: DataFrame, prefixes: DataFrame,
             searchsorted + one vectorized compare against the broadcast
             hi-bounds decide every row.  Returns None when a guard trips
             (nulls, non-string offsets, any byte >= 0x7f)."""
-            if pfx_b is None or karr.null_count:
+            if pfx_b is None or karr.null_count or width > MAX_FAST_PREFIX_LEN:
                 return None
             if pa.types.is_string(karr.type):
                 off_dt = np.int32

@@ -225,10 +225,11 @@ def test_prefix_exclude_matches_brute_force(spark, monkeypatch, engine):
         keys.add(k)
         if rng.random() < 0.5:
             keys.add(k + f"/q{rng.randrange(9)}")
-    # non-ascii keys: the broadcast engine must fall back to the exact
-    # object-array search for these batches
-    keys.update({"com,hé)/p1", "com,hé)/p1/ü", "com,h9)/pé"})
     prefixes = set()
+    # sample prefixes BEFORE the unicode keys join the pool: a sampled
+    # non-ASCII prefix would silently drop the whole broadcast engine to
+    # its object path and void the fixed-width-searchsorted coverage
+    # this parametrization exists to pin
     for k in rng.sample(sorted(keys), 300):
         r = rng.random()
         if r < 0.3:
@@ -242,6 +243,10 @@ def test_prefix_exclude_matches_brute_force(spark, monkeypatch, engine):
     # ascii batches exercise; unicode-prefix handling is pinned by
     # test_prefix_exclude_unicode_prefixes)
     prefixes.update({"com,h1)", "com,h1)/p1/q"})
+    assert all(p.isascii() for p in prefixes)
+    # non-ascii keys: the broadcast engine must fall back to the exact
+    # object-array search for these batches
+    keys.update({"com,hé)/p1", "com,hé)/p1/ü", "com,h9)/pé"})
 
     expected = sorted(k for k in keys
                       if not any(k.startswith(p) for p in prefixes))
