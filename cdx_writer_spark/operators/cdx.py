@@ -392,18 +392,25 @@ def _jvm_fields(df: DataFrame) -> DataFrame:
         F.when(mgate, F.coalesce(F.nullif(F.locate("</head>", body_low),
                                           F.lit(0)), F.lit(0))))
     hp = F.col("_hp")
-    slice_s = (F.when(hp > 0, pay.substr(cstart, hp + F.lit(4102)))
-               .otherwise(pay.substr(cstart, F.length(pay))))
+    # the slice ships as BINARY cut straight from the payload: char
+    # offsets in the latin-1 view ARE byte offsets, so one binary
+    # substring replaces the string-substr + encode round trip (two
+    # body-sized copies -> one; interleaved A/B at 10^7 records read
+    # 30.0-30.6s vs 32.2-32.7s, every pair).
     # (A JVM-side "<meta" pre-gate on the slice — lower()+locate so rows
     # with no meta tag ship nothing to Python — was measured this round:
     # +4s of JVM time per 10^7-row index run against a Python saving
     # that is hidden anyway, because ArrowEvalPython pipelines the
     # Python scan behind the JVM stage on the 2-cpu index tasks.
     # Rejected; evidence in OPTIMIZATION_r06.md.)
+    slice_b = (F.when(hp > 0,
+                      F.substring(F.col("payload"), cstart,
+                                  hp + F.lit(4102)))
+               .otherwise(F.substring(F.col("payload"), cstart,
+                                      F.length("payload"))))
     df = (df.withColumn("_status", status)
             .withColumn("_x_robots", header("x-robots-tag"))
-            .withColumn("_meta_slice",
-                        F.when(mgate, F.encode(slice_s, "ISO-8859-1"))))
+            .withColumn("_meta_slice", F.when(mgate, slice_b)))
     return df.drop("_pay", "_is_http", "_pos", "_hdrs", "_sep_len",
                    "_has_body", "_is_resp_ct", "_ct_hdr", "_ct_stripped",
                    "_pre_semi_m", "_pre_semi", "_ct_replaced", "_digest",
