@@ -522,3 +522,44 @@ def test_simhash64_signatures_and_banding_match_independent_impl(spark, docs):
                  for r in simhash(sample).collect()}
     assert got_pairs == ref_pairs, "banded pair set diverges"
     assert ref_pairs, "vacuous: no candidate pairs in the sample"
+
+
+def test_prefix_payload_vectorized_matches_sequential():
+    """The vectorized driver-side prefix-free reduction (fixed-width
+    bytes + cumulative-max interval trick) == the sequential last-kept
+    scan, across random lists dense in subsumption chains, duplicates
+    and boundary shapes; non-ASCII / NUL / DEL / oversized entries must
+    route off the bytes path.  Pure driver code — no Spark session."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from cdx_writer_spark.operators.exclude import _build_payload
+
+    def brute(vs):
+        out, last = [], None
+        for u in sorted(set(vs)):
+            if last is None or not u.startswith(last):
+                out.append(u)
+                last = u
+        return out
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n = rng.randrange(1, 60)
+        vs = ["".join(rng.choice("abc/.,)0") for _ in range(rng.randrange(1, 8)))
+              for _ in range(n)]
+        p = _build_payload(pd.Series(vs))
+        if p[0] == "bytes":
+            got = [b.decode() for b in np.frombuffer(p[1], dtype=p[2])]
+            hi = [b.decode() for b in np.frombuffer(p[3], dtype=p[4])]
+            assert hi == [e + "\x7f" for e in got]
+        else:
+            got = p[1]
+        assert got == brute(vs), (vs, got)
+    # fallback/guard routing
+    assert _build_payload(pd.Series(["com,hé)"]))[0] == "obj"
+    assert _build_payload(pd.Series(["a\x00b", "a"])) == ("obj", ["a"])
+    assert _build_payload(pd.Series(["a\x7fb", "a"])) == ("obj", ["a"])
+    assert _build_payload(pd.Series(["a" * 600, "b"])) is None
